@@ -1,0 +1,27 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+The axon sitecustomize registers a TPU backend at interpreter start; tests
+override to CPU (fast, deterministic, and lets us emulate an 8-device mesh
+via --xla_force_host_platform_device_count).
+"""
+
+import os
+
+# Must be set before the first backend initialization.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
