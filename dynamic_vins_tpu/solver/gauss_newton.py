@@ -1,0 +1,233 @@
+"""Batched Levenberg–Marquardt BA solver with dense Schur complement.
+
+Replaces the reference's Ceres DENSE_SCHUR + DOGLEG solve
+(`estimator/estimator.cpp:261-340`) with a TPU-first design:
+
+  * all factor residuals/Jacobians evaluated by `vmap`ed jacfwd kernels,
+  * a dense camera-side Jacobian [M, Dc] built by scatter (Dc = 178 for
+    the reference window of 11 frames) so H_cc = JᵀJ is one MXU matmul,
+  * landmark columns kept implicit (each projection row touches exactly
+    one inverse depth): H_ll is a segment-sum diagonal, H_lc a
+    segment-sum of weighted J rows, and the Schur complement
+    S = H_cc − H_lcᵀ D⁻¹ H_lc is again one matmul,
+  * an LM trust loop as `lax.scan` with fixed iteration count (the
+    reference budget is ≤10 iterations, kitti_tracking.yaml:70-71).
+
+Everything is static-shaped; invalid rows/slots are masked.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_vins_tpu.factors import imu_factor, prior as prior_factor
+from dynamic_vins_tpu.factors import projection
+from dynamic_vins_tpu.imu import preintegration as pre
+from dynamic_vins_tpu.solver import layout
+
+
+class BAProblem(NamedTuple):
+    """All factor data for one window solve (a single pytree)."""
+
+    obs: projection.ProjObs
+    pres: pre.Preintegration          # batched [E = F-1]
+    imu_valid: jnp.ndarray            # [E] bool
+    prior: prior_factor.MarginalPrior
+    lm_valid: jnp.ndarray             # [L] bool landmark slot validity
+    fixed_cols: jnp.ndarray           # [Dc] bool — tangent dims held fixed
+
+
+class SolverConfig(NamedTuple):
+    max_iters: int = 10
+    init_lambda: float = 1e-4
+    lambda_up: float = 4.0
+    lambda_down: float = 0.5
+    min_lambda: float = 1e-10
+    max_lambda: float = 1e8
+    huber_delta: float = 1.0          # on whitened projection residuals
+    use_imu: bool = True
+    ridge: float = 1e-8
+
+
+def _huber_weight(r2, delta):
+    """Per-row IRLS weight sqrt(rho'(s)) for Ceres-style Huber."""
+    s = jnp.sqrt(jnp.maximum(r2, 1e-20))
+    return jnp.where(r2 <= delta * delta, 1.0, jnp.sqrt(delta / s))
+
+
+def _huber_cost(r2, delta):
+    d2 = delta * delta
+    return jnp.where(r2 <= d2, r2, 2.0 * delta * jnp.sqrt(
+        jnp.maximum(r2, 1e-20)) - d2)
+
+
+def _scatter_rows(jacs, cols, n_rows_per_item, D):
+    """Scatter per-item block Jacobians into a dense [items*rows, D]."""
+    n, rows, k = jacs.shape
+    out = jnp.zeros((n * rows, D), dtype=jacs.dtype)
+    row_idx = (jnp.arange(n)[:, None, None] * rows
+               + jnp.arange(rows)[None, :, None])
+    col_idx = jnp.broadcast_to(cols[:, None, :], (n, rows, k))
+    return out.at[row_idx, col_idx].add(jacs)
+
+
+class NormalEquations(NamedTuple):
+    H_cc: jnp.ndarray    # [Dc, Dc]
+    b_c: jnp.ndarray     # [Dc]
+    H_ll: jnp.ndarray    # [L] diagonal
+    H_lc: jnp.ndarray    # [L, Dc]
+    b_l: jnp.ndarray     # [L]
+    cost: jnp.ndarray    # [] robustified total cost
+
+
+def build_normal_equations(state: layout.WindowState, inv_depth,
+                           problem: BAProblem,
+                           config: SolverConfig) -> NormalEquations:
+    D = layout.cam_dim(state.num_frames)
+    L = inv_depth.shape[0]
+    dtype = state.p.dtype
+
+    # --- projection factors -------------------------------------------
+    r_p, j_cam, j_dep, cols = projection.evaluate(state, inv_depth,
+                                                  problem.obs)
+    obs_valid = problem.obs.valid & problem.lm_valid[problem.obs.lm]
+    r_p = jnp.where(obs_valid[:, None], r_p, 0.0)
+    j_cam = jnp.where(obs_valid[:, None, None], j_cam, 0.0)
+    j_dep = jnp.where(obs_valid[:, None], j_dep, 0.0)
+
+    r2 = jnp.sum(r_p * r_p, axis=-1)
+    w = _huber_weight(r2, config.huber_delta)[:, None]
+    cost_proj = 0.5 * jnp.sum(
+        jnp.where(obs_valid, _huber_cost(r2, config.huber_delta), 0.0))
+    r_p = r_p * w
+    j_cam = j_cam * w[..., None]
+    j_dep = j_dep * w
+
+    N = r_p.shape[0]
+    J_proj = _scatter_rows(j_cam, cols, 2, D)          # [2N, D]
+    r_proj = r_p.reshape(2 * N)
+    jl = j_dep.reshape(2 * N)
+    lm_flat = jnp.repeat(problem.obs.lm, 2)
+
+    H_ll = jax.ops.segment_sum(jl * jl, lm_flat, num_segments=L)
+    H_lc = jax.ops.segment_sum(jl[:, None] * J_proj, lm_flat,
+                               num_segments=L)
+    b_l = jax.ops.segment_sum(jl * r_proj, lm_flat, num_segments=L)
+
+    # --- IMU factors ---------------------------------------------------
+    if config.use_imu:
+        r_i, J_i, cols_i = imu_factor.evaluate(state, problem.pres,
+                                               problem.imu_valid)
+        E = r_i.shape[0]
+        J_imu = _scatter_rows(J_i, cols_i, 15, D)       # [15E, D]
+        r_imu = r_i.reshape(15 * E)
+        cost_imu = 0.5 * jnp.sum(r_imu * r_imu)
+    else:
+        J_imu = jnp.zeros((0, D), dtype)
+        r_imu = jnp.zeros((0,), dtype)
+        cost_imu = jnp.zeros((), dtype)
+
+    # --- marginalization prior ----------------------------------------
+    r_pr, J_pr = prior_factor.evaluate(state, problem.prior)
+    cost_prior = 0.5 * jnp.sum(r_pr * r_pr)
+
+    # --- assemble camera-side normal equations ------------------------
+    J_all = jnp.concatenate([J_proj, J_imu, J_pr], axis=0)
+    r_all = jnp.concatenate([r_proj, r_imu, r_pr], axis=0)
+
+    # fixed tangent dims: zero their columns
+    free = (~problem.fixed_cols).astype(dtype)
+    J_all = J_all * free[None, :]
+    H_lc = H_lc * free[None, :]
+
+    H_cc = J_all.T @ J_all
+    b_c = J_all.T @ r_all
+
+    cost = cost_proj + cost_imu + cost_prior
+    return NormalEquations(H_cc, b_c, H_ll, H_lc, b_l, cost)
+
+
+def total_cost(state: layout.WindowState, inv_depth, problem: BAProblem,
+               config: SolverConfig):
+    r_p = projection.residual_only(state, inv_depth, problem.obs)
+    obs_valid = problem.obs.valid & problem.lm_valid[problem.obs.lm]
+    r2 = jnp.sum(r_p * r_p, axis=-1)
+    cost = 0.5 * jnp.sum(
+        jnp.where(obs_valid, _huber_cost(r2, config.huber_delta), 0.0))
+    if config.use_imu:
+        r_i = imu_factor.residual_only(state, problem.pres,
+                                       problem.imu_valid)
+        cost = cost + 0.5 * jnp.sum(r_i * r_i)
+    r_pr = prior_factor.residual_only(state, problem.prior)
+    return cost + 0.5 * jnp.sum(r_pr * r_pr)
+
+
+def solve_damped(eq: NormalEquations, lm_valid, fixed_cols, lam, ridge):
+    """One damped Schur solve: returns (delta_c [Dc], delta_l [L])."""
+    dtype = eq.H_cc.dtype
+    D = eq.H_cc.shape[0]
+
+    diag_cc = jnp.diag(eq.H_cc)
+    # fixed/unconstrained dims get unit diagonal so the solve is defined
+    damped_diag = diag_cc * (1.0 + lam) + ridge
+    damped_diag = jnp.where(fixed_cols | (diag_cc <= 0.0),
+                            jnp.maximum(damped_diag, 1.0), damped_diag)
+    H_cc = eq.H_cc + jnp.diag(damped_diag - diag_cc)
+
+    H_ll = eq.H_ll * (1.0 + lam)
+    H_ll = jnp.where(lm_valid & (eq.H_ll > 0.0), H_ll, 1.0)
+    b_l = jnp.where(lm_valid, eq.b_l, 0.0)
+    H_lc = jnp.where(lm_valid[:, None], eq.H_lc, 0.0)
+
+    inv_Hll = 1.0 / H_ll
+    S = H_cc - H_lc.T @ (H_lc * inv_Hll[:, None])
+    rhs = eq.b_c - H_lc.T @ (b_l * inv_Hll)
+
+    cho, low = jax.scipy.linalg.cho_factor(S, lower=True)
+    delta_c = -jax.scipy.linalg.cho_solve((cho, low), rhs)
+    delta_c = jnp.where(fixed_cols, 0.0, delta_c)
+    delta_l = -(b_l + H_lc @ delta_c) * inv_Hll
+    delta_l = jnp.where(lm_valid, delta_l, 0.0)
+    return delta_c, delta_l
+
+
+class SolveInfo(NamedTuple):
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    final_lambda: jnp.ndarray
+    accepted: jnp.ndarray     # [iters] bool
+
+
+def solve(state: layout.WindowState, inv_depth, problem: BAProblem,
+          config: SolverConfig = SolverConfig()):
+    """Run LM for config.max_iters; returns (state, inv_depth, info)."""
+    dtype = state.p.dtype
+    init_cost = total_cost(state, inv_depth, problem, config)
+
+    def step(carry, _):
+        st, dep, lam, cost = carry
+        eq = build_normal_equations(st, dep, problem, config)
+        dc, dl = solve_damped(eq, problem.lm_valid, problem.fixed_cols,
+                              lam, config.ridge)
+        new_st = st.boxplus(dc)
+        new_dep = dep + dl
+        new_cost = total_cost(new_st, new_dep, problem, config)
+        accept = (new_cost < cost) & jnp.isfinite(new_cost)
+        lam_next = jnp.where(accept, lam * config.lambda_down,
+                             lam * config.lambda_up)
+        lam_next = jnp.clip(lam_next, config.min_lambda, config.max_lambda)
+        sel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(accept, x, y), a, b)
+        st_out = sel(new_st, st)
+        dep_out = jnp.where(accept, new_dep, dep)
+        cost_out = jnp.where(accept, new_cost, cost)
+        return (st_out, dep_out, lam_next, cost_out), accept
+
+    lam0 = jnp.asarray(config.init_lambda, dtype)
+    (st, dep, lam, cost), accepted = jax.lax.scan(
+        step, (state, inv_depth, lam0, init_cost), None,
+        length=config.max_iters)
+    return st, dep, SolveInfo(init_cost, cost, lam, accepted)
