@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark: BA iterations/s on the reference-size sliding window.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference's Ceres budget is <=10 iterations in <=0.08 s
+(kitti_tracking.yaml:70-71, estimator.cpp:297-314) => ~125 iter/s
+ceiling on its CPU. We measure full LM iterations (jacobian build +
+Schur solve + cost re-evaluation) on the reference-size problem:
+11-frame window, 1000 landmark slots, ~4000 projection rows, IMU
+factors + marginalization prior columns active.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CERES_BASELINE_ITERS_PER_S = 125.0
+
+
+def main():
+    dtype = jnp.float32
+
+    from dynamic_vins_tpu.imu import preintegration as pre
+    from dynamic_vins_tpu.sim import ba_problems
+    from dynamic_vins_tpu.solver import gauss_newton as gn
+
+    # f32-friendly IMU noise floor (keeps the whitened system within
+    # float32 dynamic range; see SolverConfig/Jacobi preconditioning)
+    noise = pre.ImuNoise(acc_n=0.08, gyr_n=0.004, acc_w=1e-3, gyr_w=1e-4)
+
+    ba = ba_problems.build(num_frames=11, num_landmarks=900,
+                           obs_capacity=8192, lm_capacity=1024,
+                           pixel_noise=0.5, seed=0, dtype=jnp.float64)
+
+    # re-preintegrate with the f32 noise model, cast problem to f32
+    def cast(x):
+        if hasattr(x, "dtype") and x.dtype == jnp.float64:
+            return x.astype(dtype)
+        return x
+
+    problem = jax.tree.map(cast, ba.problem)
+    # rebuild preintegration covariance with floored noise in f64 then cast
+    seq = ba.seq
+    F = 11
+    ipf = round(float((seq.imu_times.shape[0] - 1) / (F - 1)))
+    zeros = jnp.zeros(3, dtype=jnp.float64)
+
+    def edge(k):
+        a, b = k * ipf, (k + 1) * ipf
+        return pre.preintegrate(seq.acc[a:b + 1], seq.gyr[a:b + 1],
+                                jnp.diff(seq.imu_times[a:b + 1]),
+                                zeros, zeros, noise=noise)
+
+    pres = jax.tree.map(lambda *xs: jnp.stack(xs).astype(dtype),
+                        *[edge(k) for k in range(F - 1)])
+    problem = problem._replace(pres=pres)
+
+    state0 = jax.tree.map(cast, ba_problems.perturb_state(
+        ba.gt_state, pos_sigma=0.05, rot_sigma=0.02, seed=1))
+    dep0 = ba.gt_inv_depth.astype(dtype)
+
+    ITERS = 10
+    cfg = gn.SolverConfig(use_imu=True, max_iters=ITERS)
+    solve = jax.jit(lambda s, d, p: gn.solve(s, d, p, cfg))
+
+    # warmup/compile
+    st, dep, info = solve(state0, dep0, problem)
+    jax.block_until_ready(st.p)
+    if not bool(np.isfinite(float(info.final_cost))):
+        print(json.dumps({"metric": "ba_iterations_per_s", "value": 0.0,
+                          "unit": "iter/s", "vs_baseline": 0.0,
+                          "error": "non-finite cost"}))
+        return 1
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        st, dep, info = solve(state0, dep0, problem)
+    jax.block_until_ready(st.p)
+    t1 = time.perf_counter()
+
+    iters_per_s = ITERS * reps / (t1 - t0)
+    out = {
+        "metric": "ba_iterations_per_s",
+        "value": round(iters_per_s, 2),
+        "unit": "iter/s",
+        "vs_baseline": round(iters_per_s / CERES_BASELINE_ITERS_PER_S, 3),
+        "detail": {
+            "window_frames": 11,
+            "landmark_slots": 1024,
+            "obs_rows": 8192,
+            "dtype": "float32",
+            "device": str(jax.devices()[0]),
+            "solve_ms_10iter": round(1000 * (t1 - t0) / reps, 2),
+            "cost_drop": [float(info.initial_cost),
+                          float(info.final_cost)],
+        },
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

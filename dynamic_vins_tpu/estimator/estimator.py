@@ -1,0 +1,590 @@
+"""Sliding-window visual-inertial estimator (the backend).
+
+Capability parity with `Estimator::ProcessMeasurements/ProcessImage`
+(`dynamic_vins/src/estimator/estimator.cpp:1516-1700,1786-1860`):
+IMU interval preintegration, keyframe/parallax margin decision, stereo
+(+IMU) initialization with gyro-bias alignment, triangulation, windowed
+BA, outlier rejection, marginalization, window slide, failure detection
+(the reference's version is stubbed off at estimator.cpp:1157; ours is
+active), and IMU-rate fast prediction.
+
+TPU-first split: this class is the frame-granularity host orchestrator;
+every heavy stage (preintegration, BA solve, marginalization, outlier
+scoring) is a jitted static-shape device function compiled once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamic_vins_tpu.estimator import triangulation
+from dynamic_vins_tpu.estimator.feature_manager import FeatureManager
+from dynamic_vins_tpu.factors import prior as prior_factor
+from dynamic_vins_tpu.geometry import lie
+from dynamic_vins_tpu.imu import preintegration as pre
+from dynamic_vins_tpu.solver import gauss_newton as gn
+from dynamic_vins_tpu.solver import layout, marginalization as marg
+
+
+@dataclass
+class EstimatorConfig:
+    num_frames: int = 11            # WINDOW_SIZE + 1
+    lm_capacity: int = 512
+    obs_capacity: int = 8192
+    imu_per_edge: int = 256         # max IMU samples per window edge
+    stereo: bool = True
+    use_imu: bool = True
+    max_iters: int = 8
+    huber_delta: float = 1.0
+    estimate_extrinsic: bool = False
+    estimate_td: bool = False
+    outlier_thresh: float = 3.0 / 460.0   # reproj err, normalized plane
+    max_depth: float = 200.0
+    dtype: object = jnp.float64
+
+
+class FrameFeatures(NamedTuple):
+    """Per-frame frontend output: {id: (pt_l, vel_l, pt_r|None, vel_r)}."""
+
+    timestamp: float
+    features: dict
+
+
+class OdometryOut(NamedTuple):
+    timestamp: float
+    p: np.ndarray
+    q: np.ndarray
+    v: np.ndarray
+
+
+class Estimator:
+    def __init__(self, config: EstimatorConfig, p_bc, q_bc,
+                 noise: pre.ImuNoise = pre.ImuNoise()):
+        self.cfg = config
+        F = config.num_frames
+        dt = config.dtype
+        self.fm = FeatureManager(num_frames=F, capacity=config.lm_capacity,
+                                 obs_capacity=config.obs_capacity)
+        self.state = layout.WindowState.identity(F, dt)._replace(
+            p_bc=jnp.asarray(p_bc, dt), q_bc=jnp.asarray(q_bc, dt))
+        self.prior = prior_factor.MarginalPrior.empty(F, dt)
+        self.noise = noise
+        self.frame_count = 0          # frames currently in window
+        self.initialized = False
+        self.failed = False
+        self.timestamps = np.zeros(F)
+        # raw IMU per edge for (re)preintegration, fixed capacity
+        E, C = F - 1, config.imu_per_edge
+        self.imu_acc = np.zeros((E, C + 1, 3))
+        self.imu_gyr = np.zeros((E, C + 1, 3))
+        self.imu_dt = np.zeros((E, C))
+        self.imu_n = np.zeros(E, np.int32)
+        self.first_imu = True
+        self._acc0 = np.zeros(3)
+        self._gyr0 = np.zeros(3)
+        self._first_frame = True
+        self._pose_preset = False
+
+        self._solver_cfg = gn.SolverConfig(
+            max_iters=config.max_iters, use_imu=config.use_imu,
+            huber_delta=config.huber_delta)
+        self._build_jits()
+
+    # ------------------------------------------------------------------
+    # jitted device stages
+    # ------------------------------------------------------------------
+    def _build_jits(self):
+        noise = self.noise
+        scfg = self._solver_cfg
+
+        @jax.jit
+        def preint_edges(acc, gyr, dts, mask, ba, bg):
+            def one(a, g, d, m, ba_, bg_):
+                return pre.preintegrate(a, g, d, ba_, bg_, noise=noise,
+                                        valid_mask=m)
+            return jax.vmap(one)(acc, gyr, dts, mask, ba, bg)
+
+        self._preint_edges = preint_edges
+
+        @jax.jit
+        def solve(state, inv_depth, problem):
+            return gn.solve(state, inv_depth, problem, scfg)
+
+        self._solve = solve
+
+        @jax.jit
+        def marg_old(state, inv_depth, problem, drop_lm):
+            return marg.marginalize_old(state, inv_depth, problem,
+                                        drop_lm, scfg)
+
+        self._marg_old = marg_old
+
+        F = self.cfg.num_frames
+        self._marg_second = jax.jit(
+            partial(marg.marginalize_second_new, num_frames=F))
+
+        @jax.jit
+        def outlier_scores(state, inv_depth, obs):
+            from dynamic_vins_tpu.factors import projection
+            r = projection.residual_only(state, inv_depth, obs,
+                                         sqrt_info=1.0)
+            err = jnp.linalg.norm(r, axis=-1)
+            L = inv_depth.shape[0]
+            w = obs.valid.astype(err.dtype)
+            s = jax.ops.segment_sum(err * w, obs.lm, num_segments=L)
+            n = jax.ops.segment_sum(w, obs.lm, num_segments=L)
+            return s / jnp.maximum(n, 1.0), n
+
+        self._outlier_scores = outlier_scores
+
+        @jax.jit
+        def triangulate_stereo(p_w, q_w, p_bc, q_bc, pt_l, pt_r):
+            """Stereo triangulation at one frame; returns inv depth in
+            the LEFT camera (feature_manager.cpp:244-268 semantics)."""
+            p_wc0, q_wc0 = lie.pose_compose(p_w, q_w, p_bc[0], q_bc[0])
+            p_wc1, q_wc1 = lie.pose_compose(p_w, q_w, p_bc[1], q_bc[1])
+            p_cw0, q_cw0 = lie.pose_inverse(p_wc0, q_wc0)
+            p_cw1, q_cw1 = lie.pose_inverse(p_wc1, q_wc1)
+            def one(l, r):
+                pw, d0 = triangulation.triangulate_dlt(
+                    p_cw0, q_cw0, p_cw1, q_cw1, l, r)
+                return d0
+            return jax.vmap(one)(pt_l, pt_r)
+
+        self._triangulate_stereo = triangulate_stereo
+
+        @jax.jit
+        def triangulate_two_frame(p_wi, q_wi, p_wj, q_wj, p_bc0, q_bc0,
+                                  pt_i, pt_j):
+            p_wci, q_wci = lie.pose_compose(p_wi, q_wi, p_bc0, q_bc0)
+            p_wcj, q_wcj = lie.pose_compose(p_wj, q_wj, p_bc0, q_bc0)
+            p_cwi, q_cwi = lie.pose_inverse(p_wci, q_wci)
+            p_cwj, q_cwj = lie.pose_inverse(p_wcj, q_wcj)
+            def one(a, b):
+                pw, d0 = triangulation.triangulate_dlt(
+                    p_cwi, q_cwi, p_cwj, q_cwj, a, b)
+                return d0
+            return jax.vmap(one)(pt_i, pt_j)
+
+        self._triangulate_two_frame = triangulate_two_frame
+
+        @jax.jit
+        def pnp(pts_w, pts_norm, valid, p_cw0, q_cw0):
+            return triangulation.pnp_gauss_newton(pts_w, pts_norm, valid,
+                                                  p_cw0, q_cw0)
+
+        self._pnp = pnp
+
+    # ------------------------------------------------------------------
+    # IMU ingestion
+    # ------------------------------------------------------------------
+    def add_imu_interval(self, acc, gyr, dts):
+        """Record IMU measurements for the edge ending at the next frame.
+
+        acc/gyr: [M+1,3] samples bracketing the interval, dts: [M]."""
+        if self.frame_count == 0:
+            return
+        e = min(self.frame_count - 1, self.cfg.num_frames - 2)
+        n = int(self.imu_n[e])
+        m = len(dts)
+        C = self.cfg.imu_per_edge
+        take = min(m, C - n)
+        if take < m:
+            # overflow: keep the most recent samples' aggregate dt intact
+            take = max(take, 0)
+        if n == 0:
+            self.imu_acc[e, 0] = acc[0]
+            self.imu_gyr[e, 0] = gyr[0]
+        self.imu_acc[e, n + 1:n + take + 1] = acc[1:take + 1]
+        self.imu_gyr[e, n + 1:n + take + 1] = gyr[1:take + 1]
+        self.imu_dt[e, n:n + take] = dts[:take]
+        self.imu_n[e] = n + take
+
+    def _stacked_imu(self):
+        C = self.cfg.imu_per_edge
+        mask = np.arange(C)[None, :] < self.imu_n[:, None]
+        return (jnp.asarray(self.imu_acc), jnp.asarray(self.imu_gyr),
+                jnp.asarray(self.imu_dt), jnp.asarray(mask))
+
+    def _preintegrate_all(self):
+        acc, gyr, dts, mask = self._stacked_imu()
+        ba = self.state.ba[:-1]
+        bg = self.state.bg[:-1]
+        return self._preint_edges(acc, gyr, dts, mask, ba, bg)
+
+    # ------------------------------------------------------------------
+    # frame processing
+    # ------------------------------------------------------------------
+    def process_frame(self, frame: FrameFeatures,
+                      imu_interval=None) -> Optional[OdometryOut]:
+        """Ingest one frame (+ the IMU since the previous frame)."""
+        cfg = self.cfg
+        F = cfg.num_frames
+        k = self.frame_count
+
+        if k >= F:
+            raise RuntimeError("window overflow — slide failed")
+
+        if imu_interval is not None and cfg.use_imu and k > 0:
+            acc, gyr, dts = imu_interval
+            self.add_imu_interval(acc, gyr, dts)
+
+        self.timestamps[k] = frame.timestamp
+        is_keyframe = self.fm.add_features(k, frame.features)
+
+        # initial pose for the new frame
+        if k == 0:
+            if cfg.use_imu and imu_interval is not None \
+                    and not self._pose_preset:
+                acc0 = np.mean(np.asarray(imu_interval[0]), axis=0)
+                R0 = np.asarray(lie.g2R(jnp.asarray(acc0, cfg.dtype)))
+                q0 = np.asarray(lie.matrix_to_quat(jnp.asarray(R0)))
+                self.state = self.state._replace(
+                    q=self.state.q.at[0].set(jnp.asarray(q0, cfg.dtype)))
+        else:
+            self._predict_new_frame(k)
+
+        # triangulate what we can at this frame
+        self._triangulate_new(k)
+
+        if not self.initialized:
+            if k == F - 1:
+                self._initialize()
+        if self.initialized:
+            self._optimize()
+            self._reject_outliers()
+            self._check_failure()
+
+        out = self._output(k)
+
+        # margin + slide once the window is full
+        if k == F - 1:
+            if self.initialized:
+                self._marginalize_and_slide(is_keyframe)
+            else:
+                self._slide(True)    # drop oldest while filling fails
+        else:
+            self.frame_count += 1
+        return out
+
+    # ------------------------------------------------------------------
+    def _predict_new_frame(self, k):
+        """Initial guess for frame k: IMU propagation, else PnP, else
+        constant position."""
+        cfg = self.cfg
+        st = self.state
+        prev_p = st.p[k - 1]
+        prev_q = st.q[k - 1]
+        prev_v = st.v[k - 1]
+        if cfg.use_imu and self.imu_n[min(k - 1, cfg.num_frames - 2)] > 0:
+            e = min(k - 1, cfg.num_frames - 2)
+            n = int(self.imu_n[e])
+            p, q, v = prev_p, prev_q, prev_v
+            acc = jnp.asarray(self.imu_acc[e, :n + 1], cfg.dtype)
+            gyr = jnp.asarray(self.imu_gyr[e, :n + 1], cfg.dtype)
+            dts = jnp.asarray(self.imu_dt[e, :n], cfg.dtype)
+            for i in range(n):
+                p, q, v = pre.propagate_state(
+                    p, q, v, st.ba[k - 1], st.bg[k - 1],
+                    acc[i], gyr[i], acc[i + 1], gyr[i + 1], dts[i])
+        else:
+            p, q, v = prev_p, prev_q, prev_v
+        self.state = st._replace(
+            p=st.p.at[k].set(p), q=st.q.at[k].set(q), v=st.v.at[k].set(v),
+            ba=st.ba.at[k].set(st.ba[k - 1]),
+            bg=st.bg.at[k].set(st.bg[k - 1]))
+        # refine with PnP on known landmarks (InitFramePoseByPnP)
+        self._pnp_refine(k)
+
+    def _pnp_refine(self, k):
+        cfg = self.cfg
+        fm = self.fm
+        mask = fm.active & fm.depth_valid & fm.has_obs[:, k] & \
+            (fm.start_frame < k)
+        slots = np.flatnonzero(mask)
+        if slots.size < 6:
+            return
+        pts_w = self._landmark_world_positions(slots)
+        pts_norm = fm.pt[slots, k]
+        cap = cfg.lm_capacity
+        pw = np.zeros((cap, 3))
+        pn = np.zeros((cap, 3))
+        valid = np.zeros(cap, bool)
+        pw[:slots.size] = pts_w
+        pn[:slots.size] = pts_norm
+        valid[:slots.size] = True
+        st = self.state
+        p_wc, q_wc = lie.pose_compose(st.p[k], st.q[k],
+                                      st.p_bc[0], st.q_bc[0])
+        p_cw0, q_cw0 = lie.pose_inverse(p_wc, q_wc)
+        p_cw, q_cw, err = self._pnp(jnp.asarray(pw, cfg.dtype),
+                                    jnp.asarray(pn, cfg.dtype),
+                                    jnp.asarray(valid), p_cw0, q_cw0)
+        if not np.isfinite(float(err)) or float(err) > 0.05:
+            return
+        p_wc, q_wc = lie.pose_inverse(p_cw, q_cw)
+        p_cb, q_cb = lie.pose_inverse(st.p_bc[0], st.q_bc[0])
+        p_wb, q_wb = lie.pose_compose(p_wc, q_wc, p_cb, q_cb)
+        self.state = st._replace(p=st.p.at[k].set(p_wb),
+                                 q=st.q.at[k].set(q_wb))
+
+    def _landmark_world_positions(self, slots):
+        fm = self.fm
+        st = self.state
+        anchors = fm.start_frame[slots]
+        pts = fm.pt[slots, anchors] / fm.inv_depth[slots][:, None]
+        p_a = np.asarray(st.p)[anchors]
+        q_a = np.asarray(st.q)[anchors]
+        p_bc = np.asarray(st.p_bc[0])
+        q_bc = np.asarray(st.q_bc[0])
+        pts_j = jnp.asarray(pts)
+        p_wc, q_wc = lie.pose_compose(jnp.asarray(p_a), jnp.asarray(q_a),
+                                      jnp.asarray(p_bc), jnp.asarray(q_bc))
+        return np.asarray(lie.pose_transform_point(p_wc, q_wc, pts_j))
+
+    def _triangulate_new(self, k):
+        """Assign depths to landmarks without one (stereo first, then
+        two-frame), mirroring FeatureManager::TriangulatePoints."""
+        cfg = self.cfg
+        fm = self.fm
+        st = self.state
+        # stereo triangulation at the anchor frame
+        if cfg.stereo:
+            mask = (fm.active & ~fm.depth_valid
+                    & (fm.start_frame <= k))
+            slots = np.flatnonzero(mask)
+            tri = [s for s in slots
+                   if fm.has_right[s, fm.start_frame[s]]]
+            if tri:
+                tri = np.asarray(tri)
+                a = fm.start_frame[tri]
+                # group by anchor frame (usually few distinct)
+                for f in np.unique(a):
+                    sel = tri[a == f]
+                    cap = cfg.lm_capacity
+                    n = sel.size
+                    ptl = np.zeros((cap, 3)); ptl[:n] = fm.pt[sel, f]
+                    ptr = np.zeros((cap, 3)); ptr[:n] = fm.pt_right[sel, f]
+                    d = np.asarray(self._triangulate_stereo(
+                        st.p[f], st.q[f], st.p_bc, st.q_bc,
+                        jnp.asarray(ptl, cfg.dtype),
+                        jnp.asarray(ptr, cfg.dtype)))[:n]
+                    ok = (d > 0.1) & (d < cfg.max_depth) & np.isfinite(d)
+                    fm.inv_depth[sel[ok]] = 1.0 / d[ok]
+                    fm.depth_valid[sel[ok]] = True
+        # two-frame triangulation for the rest (needs parallax)
+        mask = fm.active & ~fm.depth_valid & (fm.start_frame < k) \
+            & fm.has_obs[:, k]
+        slots = np.flatnonzero(mask)
+        if slots.size and self.initialized:
+            a = fm.start_frame[slots]
+            for f in np.unique(a):
+                sel = slots[a == f]
+                cap = cfg.lm_capacity
+                n = sel.size
+                pti = np.zeros((cap, 3)); pti[:n] = fm.pt[sel, f]
+                ptj = np.zeros((cap, 3)); ptj[:n] = fm.pt[sel, k]
+                d = np.asarray(self._triangulate_two_frame(
+                    st.p[f], st.q[f], st.p[k], st.q[k],
+                    st.p_bc[0], st.q_bc[0],
+                    jnp.asarray(pti, cfg.dtype),
+                    jnp.asarray(ptj, cfg.dtype)))[:n]
+                ok = (d > 0.1) & (d < cfg.max_depth) & np.isfinite(d)
+                fm.inv_depth[sel[ok]] = 1.0 / d[ok]
+                fm.depth_valid[sel[ok]] = True
+
+    # ------------------------------------------------------------------
+    def _initialize(self):
+        """Stereo(+IMU) initialization (estimator.cpp:1464-1496)."""
+        cfg = self.cfg
+        if cfg.use_imu:
+            # gyro bias from visual rotations vs preintegrated rotations
+            pres = self._preintegrate_all()
+            st = self.state
+            q_est = lie.quat_multiply(
+                lie.quat_conjugate(st.q[:-1]), st.q[1:])
+            dbg = triangulation.solve_gyro_bias(
+                pres.dq_dbg, pres.delta_q, q_est)
+            dbg = jnp.where(jnp.isfinite(dbg), dbg, 0.0)
+            new_bg = st.bg + dbg[None, :]
+            self.state = st._replace(bg=new_bg)
+            # init velocities by finite differences
+            dt = np.diff(self.timestamps[:cfg.num_frames])
+            dt = np.maximum(dt, 1e-3)
+            p = np.asarray(st.p)
+            v = np.zeros_like(p)
+            v[:-1] = (p[1:] - p[:-1]) / dt[:, None]
+            v[-1] = v[-2]
+            self.state = self.state._replace(
+                v=jnp.asarray(v, cfg.dtype))
+        self.initialized = True
+
+    # ------------------------------------------------------------------
+    def _build_problem(self):
+        cfg = self.cfg
+        obs, lm_valid = self.fm.build_obs_table(cfg.dtype)
+        pres = self._preintegrate_all()
+        E = cfg.num_frames - 1
+        imu_valid = jnp.asarray(
+            (self.imu_n > 0) & cfg.use_imu
+            & (np.arange(E) < self.frame_count))
+        D = layout.cam_dim(cfg.num_frames)
+        fixed = np.zeros(D, bool)
+        if not cfg.estimate_extrinsic:
+            fixed[layout.extrinsic_col(0, cfg.num_frames):
+                  layout.td_col(cfg.num_frames)] = True
+        if not cfg.estimate_td:
+            fixed[layout.td_col(cfg.num_frames)] = True
+        if not bool(self.prior.valid) and not cfg.use_imu:
+            fixed[layout.pose_col(0):layout.pose_col(0) + 6] = True
+        return gn.BAProblem(
+            obs=obs, pres=pres, imu_valid=imu_valid, prior=self.prior,
+            lm_valid=lm_valid, fixed_cols=jnp.asarray(fixed))
+
+    def _optimize(self):
+        problem = self._build_problem()
+        inv_depth = jnp.asarray(self.fm.inv_depth, self.cfg.dtype)
+        st, dep, info = self._solve(self.state, inv_depth, problem)
+        if not np.isfinite(float(info.final_cost)):
+            self.failed = True
+            return
+        self.state = st
+        self.fm.set_depths(np.asarray(dep))
+        self._last_problem = problem
+
+    def _reject_outliers(self):
+        if not hasattr(self, "_last_problem"):
+            return
+        obs, lm_valid = self.fm.build_obs_table(self.cfg.dtype)
+        inv_depth = jnp.asarray(self.fm.inv_depth, self.cfg.dtype)
+        scores, counts = self._outlier_scores(self.state, inv_depth, obs)
+        bad = (np.asarray(scores) > self.cfg.outlier_thresh) \
+            & np.asarray(lm_valid)
+        if bad.any():
+            self.fm.remove_outliers(bad)
+
+    def _check_failure(self):
+        """Active failure detection (reference's is stubbed at
+        estimator.cpp:1157-1196; same checks, actually enabled)."""
+        st = self.state
+        ba_norm = float(jnp.linalg.norm(st.ba[-1]))
+        bg_norm = float(jnp.linalg.norm(st.bg[-1]))
+        bad = (not np.all(np.isfinite(np.asarray(st.p)))
+               or ba_norm > 2.5 or bg_norm > 1.0)
+        if bad:
+            self.failed = True
+
+    # ------------------------------------------------------------------
+    def _marginalize_and_slide(self, is_keyframe: bool):
+        cfg = self.cfg
+        if is_keyframe:
+            problem = self._build_problem()
+            drop_lm = self.fm.anchored_at_mask(0)
+            inv_depth = jnp.asarray(self.fm.inv_depth, cfg.dtype)
+            prior = self._marg_old(self.state, inv_depth, problem,
+                                   drop_lm)
+            self._slide(True)
+            self.prior = marg.shift_prior_after_slide_old(prior,
+                                                          self.state)
+        else:
+            if bool(self.prior.valid):
+                prior = self._marg_second(self.prior)
+            else:
+                prior = self.prior
+            self._slide(False)
+            if bool(prior.valid):
+                self.prior = marg.shift_prior_after_slide_new(prior)
+
+    def _slide(self, old: bool):
+        cfg = self.cfg
+        F = cfg.num_frames
+        st = self.state
+        if old:
+            # depth re-anchor to frame 1 before shifting
+            def reanchor(slots):
+                fm = self.fm
+                p0 = np.asarray(st.p); q0 = np.asarray(st.q)
+                p_bc = np.asarray(st.p_bc[0]); q_bc = np.asarray(st.q_bc[0])
+                pts = fm.pt[slots, 0] / fm.inv_depth[slots][:, None]
+                p_wc0, q_wc0 = lie.pose_compose(
+                    jnp.asarray(p0[0]), jnp.asarray(q0[0]),
+                    jnp.asarray(p_bc), jnp.asarray(q_bc))
+                pw = lie.pose_transform_point(p_wc0, q_wc0,
+                                              jnp.asarray(pts))
+                p_wc1, q_wc1 = lie.pose_compose(
+                    jnp.asarray(p0[1]), jnp.asarray(q0[1]),
+                    jnp.asarray(p_bc), jnp.asarray(q_bc))
+                p_cw1, q_cw1 = lie.pose_inverse(p_wc1, q_wc1)
+                pc1 = lie.pose_transform_point(p_cw1, q_cw1, pw)
+                d = np.asarray(pc1)[:, 2]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    return np.where(d > 1e-3, 1.0 / d, np.nan)
+
+            self.fm.slide_old(reanchor)
+            roll = lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0)
+            self.state = st._replace(
+                p=roll(st.p), q=roll(st.q), v=roll(st.v),
+                ba=roll(st.ba), bg=roll(st.bg))
+            self.timestamps[:-1] = self.timestamps[1:]
+            # IMU edges shift down; newest edge resets
+            self.imu_acc[:-1] = self.imu_acc[1:]
+            self.imu_gyr[:-1] = self.imu_gyr[1:]
+            self.imu_dt[:-1] = self.imu_dt[1:]
+            self.imu_n[:-1] = self.imu_n[1:]
+            self.imu_n[-1] = 0
+            self.imu_dt[-1] = 0
+        else:
+            # newest replaces second-newest; IMU edges merge
+            F2, F1 = F - 2, F - 1
+            rep = lambda a: a.at[F2].set(a[F1])
+            self.state = st._replace(
+                p=rep(st.p), q=rep(st.q), v=rep(st.v),
+                ba=rep(st.ba), bg=rep(st.bg))
+            self.timestamps[F2] = self.timestamps[F1]
+            e2, e1 = F - 3, F - 2
+            n2, n1 = int(self.imu_n[e2]), int(self.imu_n[e1])
+            C = self.cfg.imu_per_edge
+            take = min(n1, C - n2)
+            if take > 0:
+                self.imu_acc[e2, n2 + 1:n2 + take + 1] = \
+                    self.imu_acc[e1, 1:take + 1]
+                self.imu_gyr[e2, n2 + 1:n2 + take + 1] = \
+                    self.imu_gyr[e1, 1:take + 1]
+                self.imu_dt[e2, n2:n2 + take] = self.imu_dt[e1, :take]
+                self.imu_n[e2] = n2 + take
+            self.imu_n[e1] = 0
+            self.imu_dt[e1] = 0
+            self.fm.slide_new()
+        # window stays full: next frame lands in the last slot
+        self.frame_count = F - 1
+
+    # ------------------------------------------------------------------
+    def _output(self, k) -> OdometryOut:
+        st = self.state
+        return OdometryOut(
+            timestamp=float(self.timestamps[k]),
+            p=np.asarray(st.p[k]), q=np.asarray(st.q[k]),
+            v=np.asarray(st.v[k]))
+
+    def set_initial_pose(self, p, q, v=None):
+        """Anchor the world frame (otherwise gravity-aligned, yaw-free)."""
+        dt = self.cfg.dtype
+        st = self.state
+        st = st._replace(p=st.p.at[0].set(jnp.asarray(p, dt)),
+                         q=st.q.at[0].set(jnp.asarray(q, dt)))
+        if v is not None:
+            st = st._replace(v=st.v.at[0].set(jnp.asarray(v, dt)))
+        self.state = st
+        self._pose_preset = True
+
+    def reset(self):
+        """ClearState + reboot (reference estimator.cpp:1641-1648)."""
+        cfg = self.cfg
+        p_bc, q_bc = self.state.p_bc, self.state.q_bc
+        self.__init__(cfg, p_bc, q_bc, self.noise)

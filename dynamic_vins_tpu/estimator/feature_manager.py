@@ -1,0 +1,243 @@
+"""Background landmark store for the sliding-window estimator.
+
+Capability parity with `FeatureManager`
+(`dynamic_vins/src/estimator/feature_manager.{h,cpp}`): landmark
+lifecycle (add with parallax-based keyframe decision, triangulate,
+outlier removal, window-shift re-anchoring) over a fixed-capacity pool.
+
+Design split (TPU-first): this class is host-side numpy bookkeeping —
+dynamic lifecycle, id matching, slot allocation — and it EMITS
+static-shape tables (`ProjObs`, inverse-depth vectors, masks) consumed
+by the jitted solver. The heavy math never runs host-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from dynamic_vins_tpu.factors.projection import ProjObs
+
+# Reference thresholds (parameters.h, feature_manager.cpp)
+MIN_PARALLAX = 10.0 / 460.0      # keyframe parallax (normalized plane)
+DEFAULT_DEPTH = 5.0
+
+
+@dataclass
+class FeatureManager:
+    """Fixed-capacity background landmark pool."""
+
+    num_frames: int = 11          # window slots
+    capacity: int = 512           # landmark slots
+    obs_capacity: int = 8192      # projection rows emitted per solve
+    min_parallax: float = MIN_PARALLAX
+
+    def __post_init__(self):
+        L, F = self.capacity, self.num_frames
+        self.active = np.zeros(L, bool)
+        self.feature_id = np.full(L, -1, np.int64)
+        self.start_frame = np.zeros(L, np.int32)
+        self.has_obs = np.zeros((L, F), bool)
+        self.has_right = np.zeros((L, F), bool)
+        self.pt = np.zeros((L, F, 3))          # left normalized, z=1
+        self.pt_right = np.zeros((L, F, 3))
+        self.vel = np.zeros((L, F, 3))
+        self.vel_right = np.zeros((L, F, 3))
+        self.inv_depth = np.full(L, 1.0 / DEFAULT_DEPTH)
+        self.depth_valid = np.zeros(L, bool)
+        self._id_to_slot: dict = {}
+
+    # ------------------------------------------------------------------
+    # frame ingestion
+    # ------------------------------------------------------------------
+    def add_features(self, frame: int, feats: dict) -> bool:
+        """Add one frame of features; return True if keyframe (margin old).
+
+        feats: {feature_id: (pt_left[3], vel_left[3], pt_right[3]|None,
+        vel_right[3]|None)}. Mirrors AddFeatureCheckParallax
+        (feature_manager.cpp:61-171): keyframe iff the frame brings few
+        continuing tracks or mean compensated parallax is large.
+        """
+        last_track_num = 0
+        new_count = 0
+        for fid, (pl, vl, pr, vr) in feats.items():
+            slot = self._id_to_slot.get(fid)
+            if slot is None:
+                slot = self._alloc()
+                if slot is None:
+                    continue
+                self._id_to_slot[fid] = slot
+                self.active[slot] = True
+                self.feature_id[slot] = fid
+                self.start_frame[slot] = frame
+                new_count += 1
+            else:
+                last_track_num += 1
+            self.has_obs[slot, frame] = True
+            self.pt[slot, frame] = pl
+            self.vel[slot, frame] = vl
+            if pr is not None:
+                self.has_right[slot, frame] = True
+                self.pt_right[slot, frame] = pr
+                self.vel_right[slot, frame] = vr if vr is not None else 0.0
+
+        if frame < 2 or last_track_num < 20:
+            return True
+        # mean parallax between frame-2 and frame-1 for landmarks seen in both
+        f1, f2 = frame - 1, frame - 2
+        mask = self.active & self.has_obs[:, f1] & self.has_obs[:, f2]
+        if not mask.any():
+            return True
+        d = self.pt[mask, f1, :2] - self.pt[mask, f2, :2]
+        parallax = float(np.mean(np.linalg.norm(d, axis=-1)))
+        return parallax >= self.min_parallax
+
+    def _alloc(self):
+        free = np.flatnonzero(~self.active)
+        return int(free[0]) if free.size else None
+
+    # ------------------------------------------------------------------
+    # solver tables
+    # ------------------------------------------------------------------
+    def obs_count(self):
+        return self.has_obs.sum(axis=1) * self.active
+
+    def solvable_mask(self, min_obs: int = 2):
+        """Landmarks entering BA: enough obs and valid depth."""
+        total_obs = self.has_obs.sum(axis=1) + self.has_right.sum(axis=1)
+        return self.active & self.depth_valid & (total_obs >= min_obs)
+
+    def build_obs_table(self, dtype=jnp.float64):
+        """Emit the fixed-capacity ProjObs table + landmark masks.
+
+        Rows: anchor->later-left, anchor->any-right (incl. same frame),
+        matching the reference's three projection factor variants
+        (estimator.cpp:109-214)."""
+        mask = self.solvable_mask()
+        slots = np.flatnonzero(mask)
+        fi, fj, cj, lm = [], [], [], []
+        pi_l, pj_l = [], []
+        vi_l, vj_l = [], []
+        for s in slots:
+            a = int(self.start_frame[s])
+            if not self.has_obs[s, a]:
+                continue
+            pa = self.pt[s, a]
+            va = self.vel[s, a]
+            frames = np.flatnonzero(self.has_obs[s])
+            for f in frames:
+                if f > a:
+                    fi.append(a); fj.append(f); cj.append(0); lm.append(s)
+                    pi_l.append(pa); pj_l.append(self.pt[s, f])
+                    vi_l.append(va); vj_l.append(self.vel[s, f])
+                if self.has_right[s, f] and f >= a:
+                    fi.append(a); fj.append(f); cj.append(1); lm.append(s)
+                    pi_l.append(pa); pj_l.append(self.pt_right[s, f])
+                    vi_l.append(va); vj_l.append(self.vel_right[s, f])
+        n = len(fi)
+        if n > self.obs_capacity:
+            # drop overflow rows (log-worthy; capacity sized to avoid this)
+            n = self.obs_capacity
+        obs = ProjObs.empty(self.obs_capacity, dtype=dtype)
+        if n:
+            idx = np.arange(n)
+            obs = obs._replace(
+                frame_i=obs.frame_i.at[idx].set(
+                    np.asarray(fi[:n], np.int32)),
+                frame_j=obs.frame_j.at[idx].set(
+                    np.asarray(fj[:n], np.int32)),
+                cam_j=obs.cam_j.at[idx].set(np.asarray(cj[:n], np.int32)),
+                lm=obs.lm.at[idx].set(np.asarray(lm[:n], np.int32)),
+                pt_i=obs.pt_i.at[idx].set(np.asarray(pi_l[:n])),
+                pt_j=obs.pt_j.at[idx].set(np.asarray(pj_l[:n])),
+                vel_i=obs.vel_i.at[idx].set(np.asarray(vi_l[:n])),
+                vel_j=obs.vel_j.at[idx].set(np.asarray(vj_l[:n])),
+                valid=obs.valid.at[idx].set(True),
+            )
+        lm_valid = jnp.asarray(mask)
+        return obs, lm_valid
+
+    def anchored_at_mask(self, frame: int):
+        return jnp.asarray(self.active & (self.start_frame == frame)
+                           & self.depth_valid)
+
+    # ------------------------------------------------------------------
+    # depth management
+    # ------------------------------------------------------------------
+    def set_depths(self, inv_depth, valid_update=None):
+        """Write back solved inverse depths; cull negative depths
+        (reference removes landmarks that solve to negative depth)."""
+        inv_depth = np.asarray(inv_depth)
+        mask = self.solvable_mask() if valid_update is None \
+            else np.asarray(valid_update)
+        self.inv_depth[mask] = inv_depth[mask]
+        bad = mask & (inv_depth < 1e-4)
+        self._remove_slots(np.flatnonzero(bad))
+
+    def _remove_slots(self, slots):
+        for s in slots:
+            fid = self.feature_id[s]
+            self._id_to_slot.pop(fid, None)
+        self.active[slots] = False
+        self.feature_id[slots] = -1
+        self.has_obs[slots] = False
+        self.has_right[slots] = False
+        self.depth_valid[slots] = False
+        self.inv_depth[slots] = 1.0 / DEFAULT_DEPTH
+
+    def remove_outliers(self, bad_mask):
+        self._remove_slots(np.flatnonzero(np.asarray(bad_mask)
+                                          & self.active))
+
+    # ------------------------------------------------------------------
+    # window slide
+    # ------------------------------------------------------------------
+    def slide_old(self, new_anchor_depth_fn=None):
+        """Slide out frame 0 (kMarginOld). Landmarks anchored at frame 0
+        are re-anchored to frame 1 (RemoveBackShiftDepth semantics):
+        new_anchor_depth_fn(slots) -> new inverse depths in frame-1's
+        left camera, or None to invalidate depth."""
+        L, F = self.capacity, self.num_frames
+        anchored0 = self.active & (self.start_frame == 0)
+        # re-anchor depths before shifting obs
+        if new_anchor_depth_fn is not None:
+            slots = np.flatnonzero(anchored0 & self.has_obs[:, 1]
+                                   & self.depth_valid)
+            if slots.size:
+                new_inv = new_anchor_depth_fn(slots)
+                ok = np.isfinite(new_inv) & (new_inv > 1e-4)
+                self.inv_depth[slots[ok]] = new_inv[ok]
+                self.depth_valid[slots[~ok]] = False
+        else:
+            self.depth_valid[anchored0] = False
+
+        # shift obs down one slot
+        self.has_obs[:, :-1] = self.has_obs[:, 1:]
+        self.has_obs[:, -1] = False
+        self.has_right[:, :-1] = self.has_right[:, 1:]
+        self.has_right[:, -1] = False
+        for arr in (self.pt, self.pt_right, self.vel, self.vel_right):
+            arr[:, :-1] = arr[:, 1:]
+        self.start_frame = np.maximum(self.start_frame - 1, 0)
+
+        # drop landmarks with no remaining obs
+        dead = self.active & ~self.has_obs.any(axis=1)
+        self._remove_slots(np.flatnonzero(dead))
+
+    def slide_new(self):
+        """Discard second-newest frame obs (kMarginSecondNew): obs of
+        frame F-1 move into slot F-2 (newest keeps its data)."""
+        F = self.num_frames
+        f_new, f_second = F - 1, F - 2
+        # landmarks anchored at the discarded frame move anchor to newest
+        anchored_second = self.active & (self.start_frame == f_second)
+        self.has_obs[:, f_second] = self.has_obs[:, f_new]
+        self.has_right[:, f_second] = self.has_right[:, f_new]
+        for arr in (self.pt, self.pt_right, self.vel, self.vel_right):
+            arr[:, f_second] = arr[:, f_new]
+        self.has_obs[:, f_new] = False
+        self.has_right[:, f_new] = False
+        dead = self.active & ~self.has_obs.any(axis=1)
+        self._remove_slots(np.flatnonzero(dead))

@@ -186,8 +186,13 @@ def solve_damped(eq: NormalEquations, lm_valid, fixed_cols, lam, ridge):
     S = H_cc - H_lc.T @ (H_lc * inv_Hll[:, None])
     rhs = eq.b_c - H_lc.T @ (b_l * inv_Hll)
 
-    cho, low = jax.scipy.linalg.cho_factor(S, lower=True)
-    delta_c = -jax.scipy.linalg.cho_solve((cho, low), rhs)
+    # Jacobi preconditioning: normalizes the wide dynamic range between
+    # IMU-bias and visual information so the Cholesky stays stable in f32
+    scale = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(S), 1e-12))
+    S_s = S * scale[:, None] * scale[None, :]
+    cho, low = jax.scipy.linalg.cho_factor(S_s, lower=True)
+    delta_c = -scale * jax.scipy.linalg.cho_solve((cho, low),
+                                                  scale * rhs)
     delta_c = jnp.where(fixed_cols, 0.0, delta_c)
     delta_l = -(b_l + H_lc @ delta_c) * inv_Hll
     delta_l = jnp.where(lm_valid, delta_l, 0.0)

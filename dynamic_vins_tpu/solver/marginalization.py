@@ -28,9 +28,12 @@ def _eig_threshold(w):
 
     The reference uses an absolute 1e-8 floor (marginalization_factor.cpp);
     with IMU-bias information reaching ~1e12 a relative floor is needed so
-    numerically-zero eigenvalues (≈ scale * eps) are not inverted."""
+    numerically-zero eigenvalues (≈ scale * eps) are not inverted. eigh is
+    backward stable (|Δλ| ~ eps·‖A‖), so ~5e3·eps of the max eigenvalue
+    separates real information from noise — a larger floor would throw
+    away genuine visual information whenever bias information dominates."""
     w_max = jnp.maximum(jnp.max(jnp.abs(w)), _EIG_EPS)
-    return jnp.maximum(_EIG_EPS, 1e-10 * w_max)
+    return jnp.maximum(_EIG_EPS, 1e-12 * w_max)
 
 
 def _eig_pinv(A):
@@ -141,10 +144,10 @@ def _shift_perm_old(F: int):
     keep = jnp.ones((D,), bool)
     for j in range(F - 1):
         src = src.at[layout.pose_col(j):layout.pose_col(j) + 6].set(
-            layout.pose_col(j + 1) + jnp.arange(6))
+            jnp.int32(layout.pose_col(j + 1)) + jnp.arange(6, dtype=jnp.int32))
         src = src.at[layout.speedbias_col(j, F):
                      layout.speedbias_col(j, F) + 9].set(
-            layout.speedbias_col(j + 1, F) + jnp.arange(9))
+            jnp.int32(layout.speedbias_col(j + 1, F)) + jnp.arange(9, dtype=jnp.int32))
     keep = keep.at[layout.pose_col(F - 1):layout.pose_col(F - 1) + 6].set(
         False)
     keep = keep.at[layout.speedbias_col(F - 1, F):

@@ -1,0 +1,156 @@
+"""Run configuration, mirroring the reference's YAML schema.
+
+Capability parity with `Config` / per-module parameter statics
+(`utils/parameters.h:63-108`, `front_end/front_end_parameters.h`,
+`utils/io/io_parameters.h`): one YAML file per run + a sequence name.
+Key names match the reference's (`slam`, `dataset`, `is_stereo`,
+`imu`, `use_line`, `use_dst`, `max_cnt`, `min_dist`, ...) so reference
+configs translate 1:1.
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import yaml
+
+
+class SlamMode(enum.Enum):
+    RAW = "raw"          # classic static VIO
+    NAIVE = "naive"      # mask-gated dynamic rejection
+    DYNAMIC = "dynamic"  # full per-object estimation
+
+
+class DatasetType(enum.Enum):
+    KITTI = "kitti"
+    VIODE = "viode"
+    EUROC = "euroc"
+    CUSTOM = "custom"
+    SYNTHETIC = "synthetic"
+
+
+@dataclass
+class VioConfig:
+    """Full system configuration (flat, reference key names in comments)."""
+
+    # system (parameters.h)
+    slam: SlamMode = SlamMode.RAW                  # 'slam'
+    dataset: DatasetType = DatasetType.SYNTHETIC   # 'dataset'
+    is_stereo: bool = True                         # 'is_stereo'
+    use_imu: bool = True                           # 'imu'
+    use_line: bool = False                         # 'use_line'
+    use_det3d: bool = False                        # 'use_det3d'
+    use_dst: bool = False                          # MOT-only mode
+    basic_dir: str = "output"                      # 'basic_dir'
+
+    # frontend (front_end_parameters.h)
+    max_cnt: int = 150                             # 'max_cnt'
+    max_dynamic_cnt: int = 50                      # 'max_dynamic_cnt'
+    min_dist: int = 16                             # 'min_dist'
+    min_dynamic_dist: int = 4                      # 'min_dynamic_dist'
+    f_threshold: float = 1.0                       # 'F_threshold'
+
+    # estimator (vio_parameters.h)
+    window_size: int = 10                          # kWinSize
+    max_solver_iterations: int = 8                 # 'max_num_iterations'
+    keyframe_parallax: float = 10.0                # 'keyframe_parallax' px
+    focal_length: float = 460.0
+    estimate_extrinsic: bool = False               # 'estimate_extrinsic'
+    estimate_td: bool = False                      # 'estimate_td'
+    td: float = 0.0                                # 'td'
+
+    # IMU noise (yaml acc_n/gyr_n/acc_w/gyr_w)
+    acc_n: float = 0.08
+    gyr_n: float = 0.004
+    acc_w: float = 4.0e-5
+    gyr_w: float = 2.0e-6
+    g_norm: float = 9.81                           # 'g_norm'
+
+    # camera
+    image_width: int = 752                         # 'image_width'
+    image_height: int = 480
+    intrinsics_left: Optional[list] = None         # fx fy cx cy k1 k2 p1 p2
+    intrinsics_right: Optional[list] = None
+    body_T_cam0: Optional[list] = None             # 4x4 row-major
+    body_T_cam1: Optional[list] = None
+
+    # dynamic mode (det2d/det3d/mot params)
+    det2d_score_thresh: float = 0.3
+    mot_max_age: int = 5
+    mot_n_init: int = 3
+    static_inst_threshold: float = 0.5             # kStaticInstThreshold
+
+    # io
+    image_dataset_period_ms: int = 100             # 'image_dataset_period'
+    output_dir: str = "output"
+
+    @classmethod
+    def from_yaml(cls, path: str, seq_name: str = "") -> "VioConfig":
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        cfg = cls()
+        mapping = {
+            "slam": ("slam", lambda v: SlamMode(v)),
+            "dataset": ("dataset", lambda v: DatasetType(v)),
+            "is_stereo": ("is_stereo", bool),
+            "imu": ("use_imu", lambda v: bool(int(v))),
+            "use_line": ("use_line", lambda v: bool(int(v))),
+            "use_det3d": ("use_det3d", lambda v: bool(int(v))),
+            "use_dst": ("use_dst", lambda v: bool(int(v))),
+            "max_cnt": ("max_cnt", int),
+            "max_dynamic_cnt": ("max_dynamic_cnt", int),
+            "min_dist": ("min_dist", int),
+            "min_dynamic_dist": ("min_dynamic_dist", int),
+            "F_threshold": ("f_threshold", float),
+            "max_num_iterations": ("max_solver_iterations", int),
+            "keyframe_parallax": ("keyframe_parallax", float),
+            "estimate_extrinsic": ("estimate_extrinsic",
+                                   lambda v: bool(int(v))),
+            "estimate_td": ("estimate_td", lambda v: bool(int(v))),
+            "td": ("td", float),
+            "acc_n": ("acc_n", float),
+            "gyr_n": ("gyr_n", float),
+            "acc_w": ("acc_w", float),
+            "gyr_w": ("gyr_w", float),
+            "g_norm": ("g_norm", float),
+            "image_width": ("image_width", int),
+            "image_height": ("image_height", int),
+            "image_dataset_period": ("image_dataset_period_ms", int),
+            "output_dir": ("output_dir", str),
+            "basic_dir": ("basic_dir", str),
+        }
+        for key, (attr, conv) in mapping.items():
+            if key in raw and raw[key] is not None:
+                setattr(cfg, attr, conv(raw[key]))
+        for key in ("intrinsics_left", "intrinsics_right",
+                    "body_T_cam0", "body_T_cam1"):
+            if key in raw:
+                setattr(cfg, key, raw[key])
+        cfg.seq_name = seq_name
+        return cfg
+
+    @property
+    def num_frames(self):
+        return self.window_size + 1
+
+    def extrinsics(self):
+        """(p_bc [2,3], q_bc [2,4]) from body_T_cam matrices."""
+        from dynamic_vins_tpu.geometry import lie
+        import jax.numpy as jnp
+
+        out_p, out_q = [], []
+        for key in ("body_T_cam0", "body_T_cam1"):
+            T = getattr(self, key)
+            if T is None:
+                out_p.append(np.zeros(3))
+                out_q.append(np.array([1.0, 0, 0, 0]))
+            else:
+                T = np.asarray(T, dtype=np.float64).reshape(4, 4)
+                out_p.append(T[:3, 3])
+                out_q.append(np.asarray(
+                    lie.matrix_to_quat(jnp.asarray(T[:3, :3]))))
+        return np.stack(out_p), np.stack(out_q)

@@ -1,0 +1,126 @@
+"""Frontend kernels: LK tracking, corner detection, image ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamic_vins_tpu.frontend import corners, lk, pyramid as pyr
+
+
+def _texture(H=240, W=320, seed=0, smooth=2):
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(0, 255, size=(H, W))
+    x = jnp.asarray(img, jnp.float32)
+    for _ in range(smooth):
+        x = pyr.gaussian_blur5(x)
+    return x
+
+
+def _shift_image(img, dx, dy):
+    """Subpixel shift via bilinear sampling: out(x) = img(x - d)."""
+    H, W = img.shape
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=img.dtype),
+                          jnp.arange(W, dtype=img.dtype), indexing="ij")
+    coords = jnp.stack([xx - dx, yy - dy], axis=-1)
+    return pyr.bilinear_sample(img, coords)
+
+
+def test_bilinear_sample_exact_on_grid():
+    img = _texture(64, 64)
+    xy = jnp.asarray([[3.0, 5.0], [10.0, 20.0]])
+    v = pyr.bilinear_sample(img, xy)
+    np.testing.assert_allclose(np.asarray(v),
+                               [float(img[5, 3]), float(img[20, 10])],
+                               rtol=1e-6)
+
+
+def test_lk_recovers_translation():
+    img0 = _texture()
+    shift = (7.3, -4.6)
+    img1 = _shift_image(img0, *shift)
+    # avoid border effects: points well inside
+    rng = np.random.default_rng(1)
+    N = 64
+    pts = np.stack([rng.uniform(40, 280, N), rng.uniform(40, 200, N)],
+                   axis=-1).astype(np.float32)
+    tracker = lk.make_tracker(levels=3, radius=10, iters=12)
+    pts1, ok = tracker(img0, img1, jnp.asarray(pts),
+                       jnp.ones(N, bool))
+    ok = np.asarray(ok)
+    assert ok.sum() > N * 0.8, f"only {ok.sum()} tracked"
+    flow = np.asarray(pts1)[ok] - pts[ok]
+    np.testing.assert_allclose(flow.mean(axis=0), shift, atol=0.1)
+    assert np.abs(flow - np.asarray(shift)).max() < 0.5
+
+
+def test_lk_large_motion_via_pyramid():
+    img0 = _texture(H=320, W=480, seed=3, smooth=1)
+    img1 = _shift_image(img0, 25.0, 13.0)
+    # track corners (as the real pipeline does), not random positions
+    pts_all, _, found = corners.detect(img0, max_corners=64, min_dist=16,
+                                       border=40)
+    sel = np.asarray(found)
+    pts = np.asarray(pts_all)[sel].astype(np.float32)
+    N = len(pts)
+    assert N >= 20
+    tracker = lk.make_tracker(levels=5, radius=10, iters=15,
+                              fb_thresh=1.0)
+    pts1, ok = tracker(img0, img1, jnp.asarray(pts), jnp.ones(N, bool))
+    ok = np.asarray(ok)
+    assert ok.sum() > N * 0.5, ok.sum()
+    flow = np.asarray(pts1)[ok] - pts[ok]
+    med = np.median(flow, axis=0)
+    np.testing.assert_allclose(med, (25.0, 13.0), atol=0.2)
+
+
+def test_lk_rejects_occluded():
+    img0 = _texture()
+    img1 = _texture(seed=99)   # unrelated image
+    rng = np.random.default_rng(3)
+    N = 32
+    pts = np.stack([rng.uniform(40, 280, N), rng.uniform(40, 200, N)],
+                   axis=-1).astype(np.float32)
+    tracker = lk.make_tracker(levels=3)
+    _, ok = tracker(img0, img1, jnp.asarray(pts), jnp.ones(N, bool))
+    assert np.asarray(ok).sum() < N * 0.3
+
+
+def test_corner_detection_finds_synthetic_corners():
+    # checkerboard has strong corners at cell boundaries
+    H = W = 256
+    cell = 32
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    img = (((yy // cell) + (xx // cell)) % 2).astype(np.float32) * 255.0
+    img_j = pyr.gaussian_blur5(jnp.asarray(img))
+    pts, score, found = corners.detect(img_j, max_corners=100,
+                                       min_dist=16, quality=0.05)
+    found = np.asarray(found)
+    assert found.sum() >= 40
+    p = np.asarray(pts)[found]
+    # all detections near lattice crossings (multiples of cell)
+    off = np.minimum(p % cell, cell - (p % cell))
+    assert np.max(off) < 4.0
+
+
+def test_corner_exclusion_mask():
+    img = _texture(128, 128, seed=5)
+    pts0, _, found0 = corners.detect(img, max_corners=30, min_dist=12)
+    # exclude everything found; re-detect => far from old points
+    pts1, _, found1 = corners.detect(img, max_corners=30, min_dist=12,
+                                     exclude_pts=pts0,
+                                     exclude_valid=found0)
+    p0 = np.asarray(pts0)[np.asarray(found0)]
+    p1 = np.asarray(pts1)[np.asarray(found1)]
+    if len(p1) and len(p0):
+        d = np.linalg.norm(p1[:, None] - p0[None, :], axis=-1).min(1)
+        assert d.min() > 4.0
+
+
+def test_erode_dilate_roundtrip():
+    m = np.zeros((32, 32), bool)
+    m[8:24, 8:24] = True
+    mj = jnp.asarray(m)
+    er = pyr.erode3(mj, 2)
+    assert np.asarray(er).sum() == (16 - 4) ** 2
+    di = pyr.dilate3(er, 2)
+    np.testing.assert_array_equal(np.asarray(di), m)
