@@ -46,6 +46,7 @@ class EstimatorConfig:
     estimate_td: bool = False
     outlier_thresh: float = 3.0 / 460.0   # reproj err, normalized plane
     max_depth: float = 200.0
+    dynamic: bool = False           # per-object estimation (slam: dynamic)
     dtype: object = jnp.float64
 
 
@@ -95,6 +96,14 @@ class Estimator:
             max_iters=config.max_iters, use_imu=config.use_imu,
             huber_delta=config.huber_delta)
         self._build_jits()
+
+        self.im = None
+        if config.dynamic:
+            from dynamic_vins_tpu.estimator.instance_manager import (
+                InstanceConfig, InstanceManager)
+
+            self.im = InstanceManager(InstanceConfig(
+                num_frames=F, dtype=config.dtype))
 
     # ------------------------------------------------------------------
     # jitted device stages
@@ -222,8 +231,12 @@ class Estimator:
     # frame processing
     # ------------------------------------------------------------------
     def process_frame(self, frame: FrameFeatures,
-                      imu_interval=None) -> Optional[OdometryOut]:
-        """Ingest one frame (+ the IMU since the previous frame)."""
+                      imu_interval=None,
+                      instances=None) -> Optional[OdometryOut]:
+        """Ingest one frame (+ the IMU since the previous frame).
+
+        instances: optional per-object frontend output (dynamic mode) in
+        `InstanceManager.push_frame` format."""
         cfg = self.cfg
         F = cfg.num_frames
         k = self.frame_count
@@ -261,6 +274,9 @@ class Estimator:
             self._reject_outliers()
             self._check_failure()
 
+        if self.im is not None and instances is not None:
+            self._process_instances(k, instances)
+
         out = self._output(k)
 
         # margin + slide once the window is full
@@ -274,6 +290,42 @@ class Estimator:
         return out
 
     # ------------------------------------------------------------------
+    def _process_instances(self, k, instances):
+        """Per-object pipeline for frame k (estimator.cpp:1577-1622:
+        PushBack -> PropagatePose -> Triangulate -> InitialInstance ->
+        InitialInstanceVelocity -> SetDynamicOrStatic -> Optimization)."""
+        st = self.state
+        im = self.im
+        ego_p = np.asarray(st.p[k])
+        ego_q = np.asarray(st.q[k])
+        p_bc0 = np.asarray(st.p_bc[0])
+        q_bc0 = np.asarray(st.q_bc[0])
+        im.push_frame(k, instances, ego_p, ego_q, p_bc0, q_bc0)
+        times = self.timestamps
+        im.propagate_pose(k, times)
+        im.initialize_instances(k)
+        im.triangulate(k, ego_p, ego_q, p_bc0, q_bc0,
+                       (np.asarray(st.p_bc[1]), np.asarray(st.q_bc[1])))
+        im.init_velocity(k, times)
+        im.classify_motion(k, times)
+        if self.initialized:
+            F = self.cfg.num_frames
+            p_cw = np.zeros((F, 2, 3))
+            q_cw = np.zeros((F, 2, 4))
+            for f in range(F):
+                for c in range(2):
+                    p_wc, q_wc = lie.pose_compose(
+                        st.p[f], st.q[f], st.p_bc[c], st.q_bc[c])
+                    pc, qc = lie.pose_inverse(p_wc, q_wc)
+                    p_cw[f, c] = np.asarray(pc)
+                    q_cw[f, c] = np.asarray(qc)
+            im.optimize(times, p_cw, q_cw)
+        im.manage()
+
+    def get_instance_states(self):
+        """Snapshot of per-object states (GetOutputInstInfo parity)."""
+        return {} if self.im is None else self.im.output()
+
     def _predict_new_frame(self, k):
         """Initial guess for frame k: IMU propagation, else PnP, else
         constant position."""
@@ -561,6 +613,8 @@ class Estimator:
             self.imu_n[e1] = 0
             self.imu_dt[e1] = 0
             self.fm.slide_new()
+        if self.im is not None and old:
+            self.im.slide_window()
         # window stays full: next frame lands in the last slot
         self.frame_count = F - 1
 

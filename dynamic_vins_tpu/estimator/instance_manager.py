@@ -1,0 +1,448 @@
+"""Per-object (instance) backend manager.
+
+Capability parity with `InstanceManager`
+(`dynamic_vins/src/estimator/estimator_insts.cpp`): object lifecycle
+(PushBack/create/extend, delete after lost frames), pose propagation
+(static hold / twist model / box-fit on extra points), triangulation of
+object features, InitialInstance (dims from det3d or class default,
+center from RANSAC box fit else centroid), velocity init by finite
+difference, scene-flow static/dynamic classification with hysteresis
+(SetDynamicOrStatic, kStaticInstThreshold), the vmapped object BA
+(solver/object_solver.py replaces the per-object Ceres solves), outlier
+rejection, landmark caps, and window slide.
+
+Host-side numpy bookkeeping emits fixed-capacity ObjectProblem batches;
+all math runs in jitted kernels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamic_vins_tpu.estimator import box_fit, triangulation
+from dynamic_vins_tpu.factors.object_factors import ObjectWindow
+from dynamic_vins_tpu.geometry import lie
+from dynamic_vins_tpu.solver.object_solver import (ObjectProblem,
+                                                   ObjectSolverConfig,
+                                                   solve_all)
+
+DEFAULT_DIMS = np.array([4.0, 2.0, 1.5])   # reference default (2,4,1.5)
+                                           # in (l,w,h) -> our (x,y,z)
+
+
+@dataclass
+class InstanceConfig:
+    num_frames: int = 11
+    max_objects: int = 8          # object slots (vmapped batch)
+    lm_per_object: int = 32       # object landmark slots
+    obs_per_object: int = 512
+    extra_per_frame: int = 64
+    max_lost: int = 3             # delete after N lost frames (ref: 3)
+    static_thresh: float = 0.5    # kStaticInstThreshold (m/s scene flow)
+    static_hysteresis: int = 3
+    min_age_for_velocity: int = 3
+    solver: ObjectSolverConfig = field(default_factory=ObjectSolverConfig)
+    dtype: object = jnp.float64
+
+
+class InstanceManager:
+    def __init__(self, cfg: InstanceConfig):
+        self.cfg = cfg
+        O, F, Lo = cfg.max_objects, cfg.num_frames, cfg.lm_per_object
+        self.active = np.zeros(O, bool)
+        self.track_id = np.full(O, -1, np.int64)
+        self.cls = np.zeros(O, np.int32)
+        self.age = np.zeros(O, np.int32)
+        self.lost = np.zeros(O, np.int32)
+        self.is_static = np.zeros(O, bool)
+        self.static_cnt = np.zeros(O, np.int32)
+        self.initialized = np.zeros(O, bool)
+
+        self.p = np.zeros((O, F, 3))
+        self.q = np.tile(np.array([1.0, 0, 0, 0]), (O, F, 1))
+        self.v = np.zeros((O, 3))
+        self.w = np.zeros((O, 3))
+        self.dims = np.tile(DEFAULT_DIMS, (O, 1))
+        self.c_off = np.zeros((O, 3))
+        self.frame_valid = np.zeros((O, F), bool)
+
+        # object landmarks (object frame) + observations
+        self.lm = np.zeros((O, Lo, 3))
+        self.lm_valid = np.zeros((O, Lo), bool)
+        self.lm_feat_id = np.full((O, Lo), -1, np.int64)
+        # per-frame feature obs: normalized coords per cam
+        self.obs = np.zeros((O, F, Lo, 2, 2))     # [O,F,Lo,cam,2]
+        self.obs_valid = np.zeros((O, F, Lo, 2), bool)
+        # per-frame extra point clouds (world)
+        self.extra = np.zeros((O, F, cfg.extra_per_frame, 3))
+        self.extra_valid = np.zeros((O, F, cfg.extra_per_frame), bool)
+        # detections
+        self.dims_det = np.tile(DEFAULT_DIMS, (O, 1))
+        self.dims_det_valid = np.zeros(O, bool)
+        self.q_det = np.tile(np.array([1.0, 0, 0, 0]), (O, F, 1))
+        self.det_valid = np.zeros((O, F), bool)
+
+        self._tid_to_slot: Dict[int, int] = {}
+        self._solve = jax.jit(
+            lambda s, l, p, a: solve_all(s, l, p, cfg.solver, a))
+
+    # ------------------------------------------------------------------
+    def slot_of(self, track_id: int) -> Optional[int]:
+        return self._tid_to_slot.get(track_id)
+
+    def _alloc(self, track_id: int, cls: int) -> Optional[int]:
+        free = np.flatnonzero(~self.active)
+        if not free.size:
+            return None
+        s = int(free[0])
+        self.active[s] = True
+        self.track_id[s] = track_id
+        self.cls[s] = cls
+        self.age[s] = 0
+        self.lost[s] = 0
+        self.is_static[s] = False
+        self.static_cnt[s] = 0
+        self.initialized[s] = False
+        self.frame_valid[s] = False
+        self.lm_valid[s] = False
+        self.lm_feat_id[s] = -1
+        self.obs_valid[s] = False
+        self.extra_valid[s] = False
+        self.dims[s] = DEFAULT_DIMS
+        self.dims_det_valid[s] = False
+        self.det_valid[s] = False
+        self.v[s] = 0
+        self.w[s] = 0
+        self.c_off[s] = 0
+        self._tid_to_slot[track_id] = s
+        return s
+
+    def _free(self, s: int):
+        tid = self.track_id[s]
+        self._tid_to_slot.pop(int(tid), None)
+        self.active[s] = False
+        self.track_id[s] = -1
+
+    # ------------------------------------------------------------------
+    def push_frame(self, frame: int, instances: dict, ego_p, ego_q,
+                   p_bc, q_bc):
+        """Ingest one frame of per-instance frontend output.
+
+        instances: {track_id: dict(cls, features={fid: (pt_l, pt_r|None)},
+        extra_pts_world [M,3]|None, dims_det [3]|None, q_det [4]|None)}.
+        Mirrors InstanceManager::PushBack (estimator_insts.cpp:54).
+        """
+        cfg = self.cfg
+        seen = set()
+        for tid, data in instances.items():
+            s = self.slot_of(tid)
+            if s is None:
+                s = self._alloc(tid, data.get("cls", 0))
+                if s is None:
+                    continue
+            seen.add(s)
+            self.lost[s] = 0
+            self.age[s] += 1
+            self.frame_valid[s, frame] = True
+
+            # features -> landmark slots
+            feats = data.get("features", {})
+            for fid, (pt_l, pt_r) in feats.items():
+                li = self._lm_slot(s, fid)
+                if li is None:
+                    continue
+                self.obs[s, frame, li, 0] = pt_l[:2]
+                self.obs_valid[s, frame, li, 0] = True
+                if pt_r is not None:
+                    self.obs[s, frame, li, 1] = pt_r[:2]
+                    self.obs_valid[s, frame, li, 1] = True
+
+            extra = data.get("extra_pts_world")
+            if extra is not None and len(extra):
+                m = min(len(extra), cfg.extra_per_frame)
+                self.extra[s, frame, :m] = extra[:m]
+                self.extra_valid[s, frame, :m] = True
+                self.extra_valid[s, frame, m:] = False
+
+            dims_det = data.get("dims_det")
+            if dims_det is not None:
+                self.dims_det[s] = dims_det
+                self.dims_det_valid[s] = True
+            q_det = data.get("q_det")
+            if q_det is not None:
+                self.q_det[s, frame] = q_det
+                self.det_valid[s, frame] = True
+
+        # mark lost instances
+        for s in np.flatnonzero(self.active):
+            if s not in seen:
+                self.lost[s] += 1
+
+    def _lm_slot(self, s: int, fid: int) -> Optional[int]:
+        match = np.flatnonzero(self.lm_feat_id[s] == fid)
+        if match.size:
+            return int(match[0])
+        free = np.flatnonzero(self.lm_feat_id[s] < 0)
+        if not free.size:
+            return None
+        li = int(free[0])
+        self.lm_feat_id[s, li] = fid
+        return li
+
+    # ------------------------------------------------------------------
+    def propagate_pose(self, frame: int, times):
+        """Initial pose for the new frame (PropagatePose,
+        estimator_insts.cpp:210): static -> hold; else box-fit on extra
+        points if present, else constant twist."""
+        for s in np.flatnonzero(self.active & self.frame_valid[:, frame]):
+            prev = np.flatnonzero(self.frame_valid[s, :frame])
+            if not prev.size or not self.initialized[s]:
+                continue
+            k0 = int(prev[-1])
+            if self.is_static[s]:
+                self.p[s, frame] = self.p[s, k0]
+                self.q[s, frame] = self.q[s, k0]
+                continue
+            dt = float(times[frame] - times[k0])
+            ev = self.extra_valid[s, frame]
+            if ev.sum() >= 8:
+                c, cnt, _ = box_fit.fit_box_center(
+                    jnp.asarray(self.extra[s, frame]), jnp.asarray(ev),
+                    jnp.asarray(self.q[s, k0]), jnp.asarray(self.dims[s]))
+                center = np.asarray(c)
+                offset = np.asarray(lie.quat_rotate(
+                    jnp.asarray(self.q[s, k0]),
+                    jnp.asarray(self.c_off[s])))
+                self.p[s, frame] = center - offset
+                self.q[s, frame] = self.q[s, k0]
+            else:
+                dq = np.asarray(lie.so3_exp_quat(
+                    jnp.asarray(self.w[s] * dt)))
+                self.p[s, frame] = self.p[s, k0] + self.v[s] * dt
+                self.q[s, frame] = np.asarray(lie.quat_multiply(
+                    jnp.asarray(dq), jnp.asarray(self.q[s, k0])))
+
+    def initialize_instances(self, frame: int):
+        """InitialInstance (estimator_insts.cpp:495): first pose from
+        box fit / centroid of extra points; dims from det3d or default."""
+        for s in np.flatnonzero(self.active & ~self.initialized
+                                & self.frame_valid[:, frame]):
+            ev = self.extra_valid[s, frame]
+            if ev.sum() < 8:
+                continue
+            if self.dims_det_valid[s]:
+                self.dims[s] = self.dims_det[s]
+            q0 = self.q_det[s, frame] if self.det_valid[s, frame] \
+                else np.array([1.0, 0, 0, 0])
+            c, cnt, mask = box_fit.fit_box_center(
+                jnp.asarray(self.extra[s, frame]), jnp.asarray(ev),
+                jnp.asarray(q0), jnp.asarray(self.dims[s]))
+            if int(cnt) < 5:
+                c = box_fit.centroid(jnp.asarray(self.extra[s, frame]),
+                                     jnp.asarray(ev))
+            self.p[s, :] = np.asarray(c)[None, :]
+            self.q[s, :] = q0[None, :]
+            self.c_off[s] = 0.0
+            self.initialized[s] = True
+
+    def init_velocity(self, frame: int, times):
+        """Finite-difference velocity init after age>=3
+        (InitialInstanceVelocity, estimator_insts.cpp:582)."""
+        for s in np.flatnonzero(self.active & self.initialized):
+            if self.age[s] < self.cfg.min_age_for_velocity:
+                continue
+            if np.linalg.norm(self.v[s]) > 1e-6:
+                continue
+            frames = np.flatnonzero(self.frame_valid[s, :frame + 1])
+            if frames.size < 2:
+                continue
+            k0, k1 = int(frames[0]), int(frames[-1])
+            dt = float(times[k1] - times[k0])
+            if dt <= 1e-6:
+                continue
+            self.v[s] = (self.p[s, k1] - self.p[s, k0]) / dt
+
+    def classify_motion(self, frame: int, times):
+        """Scene-flow static/dynamic decision with hysteresis
+        (SetDynamicOrStatic, estimator_insts.cpp:610)."""
+        cfg = self.cfg
+        for s in np.flatnonzero(self.active & self.initialized):
+            frames = np.flatnonzero(self.frame_valid[s, :frame + 1])
+            if frames.size < 2:
+                continue
+            k0, k1 = int(frames[-2]), int(frames[-1])
+            dt = max(float(times[k1] - times[k0]), 1e-3)
+            flow = np.linalg.norm(self.p[s, k1] - self.p[s, k0]) / dt
+            if flow < cfg.static_thresh:
+                self.static_cnt[s] += 1
+            else:
+                self.static_cnt[s] = 0
+            self.is_static[s] = self.static_cnt[s] >= \
+                cfg.static_hysteresis
+
+    # ------------------------------------------------------------------
+    def triangulate(self, frame: int, ego_p, ego_q, p_bc, q_bc,
+                    baseline_extr):
+        """Stereo triangulation of object features into object-frame
+        landmarks (Triangulate, estimator_insts.cpp:316 — stereo path).
+
+        baseline_extr: (p_bc_right, q_bc_right)."""
+        for s in np.flatnonzero(self.active & self.initialized
+                                & self.frame_valid[:, frame]):
+            li_new = np.flatnonzero(
+                ~self.lm_valid[s] & (self.lm_feat_id[s] >= 0)
+                & self.obs_valid[s, frame, :, 0]
+                & self.obs_valid[s, frame, :, 1])
+            if not li_new.size:
+                continue
+            p_wc0, q_wc0 = lie.pose_compose(
+                jnp.asarray(ego_p), jnp.asarray(ego_q),
+                jnp.asarray(p_bc), jnp.asarray(q_bc))
+            p_wc1, q_wc1 = lie.pose_compose(
+                jnp.asarray(ego_p), jnp.asarray(ego_q),
+                jnp.asarray(baseline_extr[0]),
+                jnp.asarray(baseline_extr[1]))
+            p_cw0, q_cw0 = lie.pose_inverse(p_wc0, q_wc0)
+            p_cw1, q_cw1 = lie.pose_inverse(p_wc1, q_wc1)
+            for li in li_new:
+                ptl = np.append(self.obs[s, frame, li, 0], 1.0)
+                ptr = np.append(self.obs[s, frame, li, 1], 1.0)
+                pw, d0 = triangulation.triangulate_dlt(
+                    p_cw0, q_cw0, p_cw1, q_cw1,
+                    jnp.asarray(ptl), jnp.asarray(ptr))
+                if not np.isfinite(float(d0)) or float(d0) < 0.5 \
+                        or float(d0) > 100.0:
+                    continue
+                # world -> object frame at this frame
+                p_ow, q_ow = lie.pose_inverse(
+                    jnp.asarray(self.p[s, frame]),
+                    jnp.asarray(self.q[s, frame]))
+                po = np.asarray(lie.pose_transform_point(p_ow, q_ow, pw))
+                if np.abs(po).max() > 2.0 * self.dims[s].max():
+                    continue   # box-based outlier cull
+                self.lm[s, li] = po
+                self.lm_valid[s, li] = True
+
+    # ------------------------------------------------------------------
+    def _build_problems(self, times, ego_p_cw, ego_q_cw):
+        cfg = self.cfg
+        O, F, Lo = cfg.max_objects, cfg.num_frames, cfg.lm_per_object
+        No = cfg.obs_per_object
+        dt = cfg.dtype
+
+        obs_frame = np.zeros((O, No), np.int32)
+        obs_cam = np.zeros((O, No), np.int32)
+        obs_lm = np.zeros((O, No), np.int32)
+        obs_norm = np.zeros((O, No, 2))
+        obs_ok = np.zeros((O, No), bool)
+        for s in range(O):
+            if not (self.active[s] and self.initialized[s]):
+                continue
+            rows = np.argwhere(self.obs_valid[s]
+                               & self.lm_valid[s][None, :, None])
+            n = min(len(rows), No)
+            for i, (f, li, c) in enumerate(rows[:n]):
+                obs_frame[s, i] = f
+                obs_cam[s, i] = c
+                obs_lm[s, i] = li
+                obs_norm[s, i] = self.obs[s, f, li, c]
+                obs_ok[s, i] = True
+
+        probs = ObjectProblem(
+            obs_frame=jnp.asarray(obs_frame),
+            obs_cam=jnp.asarray(obs_cam),
+            obs_lm=jnp.asarray(obs_lm),
+            obs_norm=jnp.asarray(obs_norm, dt),
+            obs_valid=jnp.asarray(obs_ok),
+            extra_pts=jnp.asarray(self.extra, dt),
+            extra_valid=jnp.asarray(self.extra_valid),
+            dims_det=jnp.asarray(self.dims_det, dt),
+            dims_det_valid=jnp.asarray(self.dims_det_valid),
+            q_det=jnp.asarray(self.q_det, dt),
+            det_valid=jnp.asarray(self.det_valid),
+            frame_valid=jnp.asarray(self.frame_valid),
+            lm_valid=jnp.asarray(self.lm_valid),
+            lm_prior=jnp.asarray(self.lm, dt),
+            times=jnp.asarray(np.tile(times, (O, 1)), dt),
+            p_cw=jnp.asarray(np.tile(ego_p_cw, (O, 1, 1, 1)), dt),
+            q_cw=jnp.asarray(np.tile(ego_q_cw, (O, 1, 1, 1)), dt))
+        states = ObjectWindow(
+            p=jnp.asarray(self.p, dt), q=jnp.asarray(self.q, dt),
+            v=jnp.asarray(self.v, dt), w=jnp.asarray(self.w, dt),
+            dims=jnp.asarray(self.dims, dt),
+            c_off=jnp.asarray(self.c_off, dt))
+        lms = jnp.asarray(self.lm, dt)
+        active = jnp.asarray(self.active & self.initialized
+                             & ~self.is_static)
+        return states, lms, probs, active
+
+    def optimize(self, times, ego_p_cw, ego_q_cw):
+        """Vmapped BA over all active dynamic objects
+        (InstanceManager::Optimization, estimator_insts.cpp:772)."""
+        if not (self.active & self.initialized).any():
+            return
+        states, lms, probs, active = self._build_problems(
+            times, ego_p_cw, ego_q_cw)
+        st, lm, cost = self._solve(states, lms, probs, active)
+        act = np.asarray(active)
+        cost_np = np.asarray(cost)
+        ok = act & np.isfinite(cost_np)
+        self.p[ok] = np.asarray(st.p)[ok]
+        self.q[ok] = np.asarray(st.q)[ok]
+        self.v[ok] = np.asarray(st.v)[ok]
+        self.w[ok] = np.asarray(st.w)[ok]
+        self.dims[ok] = np.asarray(st.dims)[ok]
+        self.c_off[ok] = np.asarray(st.c_off)[ok]
+        self.lm[ok] = np.asarray(lm)[ok]
+
+    # ------------------------------------------------------------------
+    def manage(self):
+        """Delete lost instances (ManageInstances,
+        dynamic_tracker.cpp:499: lost_num > 3)."""
+        for s in np.flatnonzero(self.active):
+            if self.lost[s] > self.cfg.max_lost:
+                self._free(s)
+
+    def slide_window(self):
+        """Shift all per-frame object data down one slot (SlideWindow,
+        estimator_insts.cpp:910 / instance.cpp:35)."""
+        self.p[:, :-1] = self.p[:, 1:]
+        self.q[:, :-1] = self.q[:, 1:]
+        self.frame_valid[:, :-1] = self.frame_valid[:, 1:]
+        self.frame_valid[:, -1] = False
+        self.obs[:, :-1] = self.obs[:, 1:]
+        self.obs_valid[:, :-1] = self.obs_valid[:, 1:]
+        self.obs_valid[:, -1] = False
+        self.extra[:, :-1] = self.extra[:, 1:]
+        self.extra_valid[:, :-1] = self.extra_valid[:, 1:]
+        self.extra_valid[:, -1] = False
+        self.q_det[:, :-1] = self.q_det[:, 1:]
+        self.det_valid[:, :-1] = self.det_valid[:, 1:]
+        self.det_valid[:, -1] = False
+        # cull landmarks with no remaining observations
+        has_obs = self.obs_valid.any(axis=(1, 3))
+        dead = self.lm_valid & ~has_obs
+        self.lm_valid[dead] = False
+        self.lm_feat_id[dead] = -1
+
+    def output(self):
+        """Per-object state snapshot {track_id: dict} (SetOutputInstInfo
+        / Output, estimator_insts.cpp:967)."""
+        out = {}
+        for s in np.flatnonzero(self.active & self.initialized):
+            frames = np.flatnonzero(self.frame_valid[s])
+            if not frames.size:
+                continue
+            k = int(frames[-1])
+            out[int(self.track_id[s])] = dict(
+                p=self.p[s, k].copy(), q=self.q[s, k].copy(),
+                v=self.v[s].copy(), w=self.w[s].copy(),
+                dims=self.dims[s].copy(),
+                is_static=bool(self.is_static[s]),
+                cls=int(self.cls[s]))
+        return out

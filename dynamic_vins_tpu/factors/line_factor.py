@@ -1,0 +1,103 @@
+"""Line reprojection factor (orthonormal 4-dof parameterization).
+
+Capability parity with `lineProjectionFactor`
+(`estimator/factor/line_projection_factor.{h,cpp}`, 598 LoC of hand
+Jacobians): residual = distances of the two observed normalized
+endpoints to the projected infinite line, Jacobians via jacfwd over the
+16-dim local tangent [dpose 6, dex 6, dorth 4].
+
+Lines live in the WORLD frame (not anchored), matching the reference's
+LineLandmark; columns for the orth parameters are appended after the
+camera block (see solver/gauss_newton.py line support).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_vins_tpu.geometry import lie, lines
+from dynamic_vins_tpu.solver import layout
+
+LINE_SQRT_INFO = 460.0 / 1.5
+
+
+class LineObs(NamedTuple):
+    """Fixed-capacity line observation table."""
+
+    frame_j: jnp.ndarray   # [N] observing frame
+    cam_j: jnp.ndarray     # [N] 0 left / 1 right
+    line: jnp.ndarray      # [N] line slot
+    s: jnp.ndarray         # [N,3] observed start point (normalized, z=1)
+    e: jnp.ndarray         # [N,3] observed end point
+    valid: jnp.ndarray     # [N]
+
+    @classmethod
+    def empty(cls, n: int, dtype=jnp.float64):
+        zi = jnp.zeros((n,), jnp.int32)
+        z3 = jnp.zeros((n, 3), dtype).at[:, 2].set(1.0)
+        return cls(zi, zi, zi, z3, z3, jnp.zeros((n,), bool))
+
+
+def _residual_local(delta, row, state: layout.WindowState, orth_row,
+                    sqrt_info):
+    """delta: [16] = [dpose_j 6, dex 6, dorth 4]."""
+    fj, cj = row.frame_j, row.cam_j
+    p_j, q_j = lie.pose_boxplus(state.p[fj], state.q[fj], delta[0:6])
+    p_bc, q_bc = lie.pose_boxplus(state.p_bc[cj], state.q_bc[cj],
+                                  delta[6:12])
+    orth = lines.orth_boxplus(orth_row, delta[12:16])
+    n_w, d_w = lines.orth_to_plucker(orth)
+
+    # world -> body -> camera
+    p_bw, q_bw = lie.pose_inverse(p_j, q_j)
+    n_b, d_b = lines.transform_line(n_w, d_w, p_bw, q_bw)
+    p_cb, q_cb = lie.pose_inverse(p_bc, q_bc)
+    n_c, _ = lines.transform_line(n_b, d_b, p_cb, q_cb)
+
+    l = lines.project_line(n_c)
+    r1 = lines.line_point_distance(l, row.s)
+    r2 = lines.line_point_distance(l, row.e)
+    return sqrt_info * jnp.stack([r1, r2])
+
+
+def evaluate(state: layout.WindowState, line_orth, obs: LineObs,
+             sqrt_info: float = LINE_SQRT_INFO):
+    """Residuals [N,2], Jacobians [N,2,16], camera cols [N,12].
+
+    The 4 orth columns are implicit: block `obs.line` of the line-block
+    column space (handled by the solver's line assembly)."""
+    dtype = state.p.dtype
+    F = state.num_frames
+
+    def one(row, orth_row):
+        zero = jnp.zeros((16,), dtype)
+        r = _residual_local(zero, row, state, orth_row, sqrt_info)
+        J = jax.jacfwd(_residual_local)(zero, row, state, orth_row,
+                                        sqrt_info)
+        return r, J
+
+    r, J = jax.vmap(one)(obs, line_orth[obs.line])
+    r = jnp.where(obs.valid[:, None], r, 0.0)
+    J = jnp.where(obs.valid[:, None, None], J, 0.0)
+
+    base = jnp.arange(6, dtype=jnp.int32)
+    cols = jnp.concatenate([
+        layout.pose_col(obs.frame_j)[:, None] + base[None, :],
+        layout.extrinsic_col(obs.cam_j, F)[:, None] + base[None, :],
+    ], axis=1)
+    return r, J[:, :, :12], J[:, :, 12:16], cols
+
+
+def residual_only(state: layout.WindowState, line_orth, obs: LineObs,
+                  sqrt_info: float = LINE_SQRT_INFO):
+    dtype = state.p.dtype
+
+    def one(row, orth_row):
+        return _residual_local(jnp.zeros((16,), dtype), row, state,
+                               orth_row, sqrt_info)
+
+    r = jax.vmap(one)(obs, line_orth[obs.line])
+    return jnp.where(obs.valid[:, None], r, 0.0)

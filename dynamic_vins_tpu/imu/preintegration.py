@@ -26,10 +26,13 @@ from dynamic_vins_tpu.geometry import lie
 
 
 class ImuNoise(NamedTuple):
-    acc_n: float = 0.08
-    gyr_n: float = 0.004
-    acc_w: float = 0.00004
-    gyr_w: float = 2.0e-6
+    """IMU noise densities (reference defaults, kitti_tracking.yaml /
+    euroc.yaml: acc_n 0.1, gyr_n 0.01, acc_w 1e-3, gyr_w 1e-4)."""
+
+    acc_n: float = 0.1
+    gyr_n: float = 0.01
+    acc_w: float = 1.0e-3
+    gyr_w: float = 1.0e-4
 
 
 GRAVITY = jnp.array([0.0, 0.0, 9.81])

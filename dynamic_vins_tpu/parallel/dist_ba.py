@@ -142,9 +142,9 @@ def make_distributed_solver(mesh: Mesh, problem_template: gn.BAProblem,
             st, dep, lam, cost = carry
             eq = _local_normal_equations(st, dep, problem, config, axis,
                                          n_shards)
-            dc, dl = gn.solve_damped(eq, problem.lm_valid,
-                                     problem.fixed_cols, lam,
-                                     config.ridge)
+            dc, dl, _ = gn.solve_damped(eq, problem.lm_valid,
+                                        problem.fixed_cols, lam,
+                                        config.ridge)
             new_st = st.boxplus(dc)
             new_dep = dep + dl
             new_cost = _local_cost(new_st, new_dep, problem, config,

@@ -38,6 +38,9 @@ class BAProblem(NamedTuple):
     prior: prior_factor.MarginalPrior
     lm_valid: jnp.ndarray             # [L] bool landmark slot validity
     fixed_cols: jnp.ndarray           # [Dc] bool — tangent dims held fixed
+    # optional line-feature system (PL-VINS capability; None = no lines)
+    line_obs: object = None           # factors.line_factor.LineObs | None
+    line_valid: object = None         # [Lc] bool | None
 
 
 class SolverConfig(NamedTuple):
@@ -81,11 +84,53 @@ class NormalEquations(NamedTuple):
     H_lc: jnp.ndarray    # [L, Dc]
     b_l: jnp.ndarray     # [L]
     cost: jnp.ndarray    # [] robustified total cost
+    # line blocks (4-dof orthonormal params, block-diagonal Schur)
+    H_gg: object = None  # [Lc,4,4] | None
+    H_gc: object = None  # [Lc,4,Dc] | None
+    b_g: object = None   # [Lc,4] | None
+
+
+def _line_normal_equations(state, line_orth, problem, config, D):
+    """Line-factor contributions: camera rows + 4x4 line blocks."""
+    from dynamic_vins_tpu.factors import line_factor
+
+    Lc = line_orth.shape[0]
+    dtype = state.p.dtype
+    r_l, j_cam, j_orth, cols = line_factor.evaluate(state, line_orth,
+                                                    problem.line_obs)
+    valid = problem.line_obs.valid & problem.line_valid[
+        problem.line_obs.line]
+    r_l = jnp.where(valid[:, None], r_l, 0.0)
+    j_cam = jnp.where(valid[:, None, None], j_cam, 0.0)
+    j_orth = jnp.where(valid[:, None, None], j_orth, 0.0)
+
+    r2 = jnp.sum(r_l * r_l, axis=-1)
+    w = _huber_weight(r2, config.huber_delta)[:, None]
+    cost = 0.5 * jnp.sum(
+        jnp.where(valid, _huber_cost(r2, config.huber_delta), 0.0))
+    r_l = r_l * w
+    j_cam = j_cam * w[..., None]
+    j_orth = j_orth * w[..., None]
+
+    N = r_l.shape[0]
+    J_line = _scatter_rows(j_cam, cols, 2, D)          # [2N, D]
+    r_line = r_l.reshape(2 * N)
+    jg = j_orth.reshape(2 * N, 4)
+    line_flat = jnp.repeat(problem.line_obs.line, 2)
+
+    H_gg = jax.ops.segment_sum(jg[:, :, None] * jg[:, None, :],
+                               line_flat, num_segments=Lc)
+    H_gc = jax.ops.segment_sum(jg[:, :, None] * J_line[:, None, :],
+                               line_flat, num_segments=Lc)
+    b_g = jax.ops.segment_sum(jg * r_line[:, None], line_flat,
+                              num_segments=Lc)
+    return J_line, r_line, H_gg, H_gc, b_g, cost
 
 
 def build_normal_equations(state: layout.WindowState, inv_depth,
                            problem: BAProblem,
-                           config: SolverConfig) -> NormalEquations:
+                           config: SolverConfig,
+                           line_orth=None) -> NormalEquations:
     D = layout.cam_dim(state.num_frames)
     L = inv_depth.shape[0]
     dtype = state.p.dtype
@@ -134,24 +179,38 @@ def build_normal_equations(state: layout.WindowState, inv_depth,
     r_pr, J_pr = prior_factor.evaluate(state, problem.prior)
     cost_prior = 0.5 * jnp.sum(r_pr * r_pr)
 
+    # --- line factors (optional) --------------------------------------
+    if problem.line_obs is not None and line_orth is not None:
+        (J_line, r_line, H_gg, H_gc, b_g,
+         cost_line) = _line_normal_equations(state, line_orth, problem,
+                                             config, D)
+    else:
+        J_line = jnp.zeros((0, D), dtype)
+        r_line = jnp.zeros((0,), dtype)
+        H_gg = H_gc = b_g = None
+        cost_line = jnp.zeros((), dtype)
+
     # --- assemble camera-side normal equations ------------------------
-    J_all = jnp.concatenate([J_proj, J_imu, J_pr], axis=0)
-    r_all = jnp.concatenate([r_proj, r_imu, r_pr], axis=0)
+    J_all = jnp.concatenate([J_proj, J_imu, J_pr, J_line], axis=0)
+    r_all = jnp.concatenate([r_proj, r_imu, r_pr, r_line], axis=0)
 
     # fixed tangent dims: zero their columns
     free = (~problem.fixed_cols).astype(dtype)
     J_all = J_all * free[None, :]
     H_lc = H_lc * free[None, :]
+    if H_gc is not None:
+        H_gc = H_gc * free[None, None, :]
 
     H_cc = J_all.T @ J_all
     b_c = J_all.T @ r_all
 
-    cost = cost_proj + cost_imu + cost_prior
-    return NormalEquations(H_cc, b_c, H_ll, H_lc, b_l, cost)
+    cost = cost_proj + cost_imu + cost_prior + cost_line
+    return NormalEquations(H_cc, b_c, H_ll, H_lc, b_l, cost,
+                           H_gg, H_gc, b_g)
 
 
 def total_cost(state: layout.WindowState, inv_depth, problem: BAProblem,
-               config: SolverConfig):
+               config: SolverConfig, line_orth=None):
     r_p = projection.residual_only(state, inv_depth, problem.obs)
     obs_valid = problem.obs.valid & problem.lm_valid[problem.obs.lm]
     r2 = jnp.sum(r_p * r_p, axis=-1)
@@ -162,11 +221,25 @@ def total_cost(state: layout.WindowState, inv_depth, problem: BAProblem,
                                        problem.imu_valid)
         cost = cost + 0.5 * jnp.sum(r_i * r_i)
     r_pr = prior_factor.residual_only(state, problem.prior)
-    return cost + 0.5 * jnp.sum(r_pr * r_pr)
+    cost = cost + 0.5 * jnp.sum(r_pr * r_pr)
+    if problem.line_obs is not None and line_orth is not None:
+        from dynamic_vins_tpu.factors import line_factor
+
+        r_l = line_factor.residual_only(state, line_orth,
+                                        problem.line_obs)
+        lvalid = problem.line_obs.valid & problem.line_valid[
+            problem.line_obs.line]
+        lr2 = jnp.sum(r_l * r_l, axis=-1)
+        cost = cost + 0.5 * jnp.sum(
+            jnp.where(lvalid, _huber_cost(lr2, config.huber_delta), 0.0))
+    return cost
 
 
-def solve_damped(eq: NormalEquations, lm_valid, fixed_cols, lam, ridge):
-    """One damped Schur solve: returns (delta_c [Dc], delta_l [L])."""
+def solve_damped(eq: NormalEquations, lm_valid, fixed_cols, lam, ridge,
+                 line_valid=None):
+    """One damped Schur solve.
+
+    Returns (delta_c [Dc], delta_l [L], delta_g [Lc,4]|None)."""
     dtype = eq.H_cc.dtype
     D = eq.H_cc.shape[0]
 
@@ -186,6 +259,26 @@ def solve_damped(eq: NormalEquations, lm_valid, fixed_cols, lam, ridge):
     S = H_cc - H_lc.T @ (H_lc * inv_Hll[:, None])
     rhs = eq.b_c - H_lc.T @ (b_l * inv_Hll)
 
+    # line blocks: damped 4x4 block-diagonal Schur elimination
+    inv_Hgg = None
+    H_gc = b_g = None
+    if eq.H_gg is not None:
+        Lc = eq.H_gg.shape[0]
+        lv = line_valid if line_valid is not None else \
+            jnp.ones((Lc,), bool)
+        eye4 = jnp.eye(4, dtype=dtype)
+        dg = jnp.diagonal(eq.H_gg, axis1=-2, axis2=-1)
+        Hgg = eq.H_gg + (lam * dg + ridge + 1e-6)[..., None] * eye4
+        Hgg = jnp.where(lv[:, None, None], Hgg, eye4)
+        H_gc = jnp.where(lv[:, None, None], eq.H_gc, 0.0)
+        b_g = jnp.where(lv[:, None], eq.b_g, 0.0)
+        inv_Hgg = jnp.linalg.inv(Hgg)
+        # S -= H_gc^T Hgg^-1 H_gc summed over line blocks
+        tmp = jnp.einsum("gij,gjD->giD", inv_Hgg, H_gc)
+        S = S - jnp.einsum("giD,giE->DE", H_gc, tmp)
+        rhs = rhs - jnp.einsum("giD,gi->D", H_gc,
+                               jnp.einsum("gij,gj->gi", inv_Hgg, b_g))
+
     # Jacobi preconditioning: normalizes the wide dynamic range between
     # IMU-bias and visual information so the Cholesky stays stable in f32
     scale = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(S), 1e-12))
@@ -196,7 +289,12 @@ def solve_damped(eq: NormalEquations, lm_valid, fixed_cols, lam, ridge):
     delta_c = jnp.where(fixed_cols, 0.0, delta_c)
     delta_l = -(b_l + H_lc @ delta_c) * inv_Hll
     delta_l = jnp.where(lm_valid, delta_l, 0.0)
-    return delta_c, delta_l
+
+    delta_g = None
+    if inv_Hgg is not None:
+        resid_g = b_g + jnp.einsum("giD,D->gi", H_gc, delta_c)
+        delta_g = -jnp.einsum("gij,gj->gi", inv_Hgg, resid_g)
+    return delta_c, delta_l, delta_g
 
 
 class SolveInfo(NamedTuple):
@@ -207,19 +305,35 @@ class SolveInfo(NamedTuple):
 
 
 def solve(state: layout.WindowState, inv_depth, problem: BAProblem,
-          config: SolverConfig = SolverConfig()):
-    """Run LM for config.max_iters; returns (state, inv_depth, info)."""
+          config: SolverConfig = SolverConfig(), line_orth=None):
+    """Run LM for config.max_iters.
+
+    Returns (state, inv_depth, info) — or, when the problem carries
+    lines and `line_orth` is given, (state, inv_depth, line_orth, info).
+    """
+    from dynamic_vins_tpu.geometry import lines as line_geom
+
     dtype = state.p.dtype
-    init_cost = total_cost(state, inv_depth, problem, config)
+    has_lines = problem.line_obs is not None and line_orth is not None
+    init_cost = total_cost(state, inv_depth, problem, config, line_orth)
+    if not has_lines:
+        line_orth0 = jnp.zeros((0, 4), dtype)
+    else:
+        line_orth0 = line_orth
 
     def step(carry, _):
-        st, dep, lam, cost = carry
-        eq = build_normal_equations(st, dep, problem, config)
-        dc, dl = solve_damped(eq, problem.lm_valid, problem.fixed_cols,
-                              lam, config.ridge)
+        st, dep, orth, lam, cost = carry
+        eq = build_normal_equations(st, dep, problem, config,
+                                    orth if has_lines else None)
+        dc, dl, dg = solve_damped(eq, problem.lm_valid,
+                                  problem.fixed_cols, lam, config.ridge,
+                                  problem.line_valid)
         new_st = st.boxplus(dc)
         new_dep = dep + dl
-        new_cost = total_cost(new_st, new_dep, problem, config)
+        new_orth = (line_geom.orth_boxplus(orth, dg) if has_lines
+                    else orth)
+        new_cost = total_cost(new_st, new_dep, problem, config,
+                              new_orth if has_lines else None)
         accept = (new_cost < cost) & jnp.isfinite(new_cost)
         lam_next = jnp.where(accept, lam * config.lambda_down,
                              lam * config.lambda_up)
@@ -228,11 +342,15 @@ def solve(state: layout.WindowState, inv_depth, problem: BAProblem,
             lambda x, y: jnp.where(accept, x, y), a, b)
         st_out = sel(new_st, st)
         dep_out = jnp.where(accept, new_dep, dep)
+        orth_out = jnp.where(accept, new_orth, orth)
         cost_out = jnp.where(accept, new_cost, cost)
-        return (st_out, dep_out, lam_next, cost_out), accept
+        return (st_out, dep_out, orth_out, lam_next, cost_out), accept
 
     lam0 = jnp.asarray(config.init_lambda, dtype)
-    (st, dep, lam, cost), accepted = jax.lax.scan(
-        step, (state, inv_depth, lam0, init_cost), None,
+    (st, dep, orth, lam, cost), accepted = jax.lax.scan(
+        step, (state, inv_depth, line_orth0, lam0, init_cost), None,
         length=config.max_iters)
-    return st, dep, SolveInfo(init_cost, cost, lam, accepted)
+    info = SolveInfo(init_cost, cost, lam, accepted)
+    if has_lines:
+        return st, dep, orth, info
+    return st, dep, info

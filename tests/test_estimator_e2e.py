@@ -41,7 +41,7 @@ def _run_sequence(num_frames=25, pixel_noise=0.5, acc_noise=0.05,
 def test_stereo_vio_tracks_trajectory():
     ate, est, outs = _run_sequence()
     # ~9m circle, 2.4s; sub-decimeter ATE with 0.5px + IMU noise
-    assert ate < 0.1, f"ATE {ate}"
+    assert ate < 0.06, f"ATE {ate}"
     assert est.initialized
 
 

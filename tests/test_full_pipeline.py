@@ -51,5 +51,5 @@ def test_image_pipeline_tracks_trajectory():
 
     est_p = np.stack([o.p for o in outs])
     ate = frontend_sim.ate_rmse(est_p, np.asarray(seq.gt_p))
-    assert ate < 0.25, f"ATE {ate}"  # TODO(accuracy): tighten to 0.10
+    assert ate < 0.20, f"ATE {ate}"  # blob-render LK bias; see notes
     assert not est.failed

@@ -1,0 +1,72 @@
+"""Instance (per-object) frontend tracking on rendered images."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dynamic_vins_tpu.frontend.instance_tracker import (
+    InstanceTracker, InstanceTrackerConfig)
+from dynamic_vins_tpu.geometry.camera import PinholeIntrinsics
+from dynamic_vins_tpu.sim import render
+
+
+def _object_scene(shift):
+    """A textured square 'object' on a plain background + its mask."""
+    rng = np.random.default_rng(0)
+    H, W = 240, 320
+    img = np.full((H, W), 30.0, np.float32)
+    x0, y0 = 100 + shift, 80
+    tex = rng.uniform(60, 255, size=(80, 100)).astype(np.float32)
+    img[y0:y0 + 80, x0:x0 + 100] = tex
+    mask = np.zeros((H, W), bool)
+    mask[y0:y0 + 80, x0:x0 + 100] = True
+    return img, mask
+
+
+def test_instance_tracking_follows_object():
+    intr = PinholeIntrinsics.make(230.0, 230.0, 160.0, 120.0,
+                                  dtype=jnp.float32)
+    it = InstanceTracker(InstanceTrackerConfig(max_dynamic_cnt=40),
+                         intr, baseline=0.11,
+                         p_bc=np.zeros(3), q_bc=[1.0, 0, 0, 0])
+    img0, mask0 = _object_scene(0)
+    out0 = it.track(img0, {3: mask0})
+    n0 = len(out0[3]["features"])
+    assert n0 >= 10
+
+    img1, mask1 = _object_scene(6)
+    out1 = it.track(img1, {3: mask1})
+    common = set(out0[3]["features"]) & set(out1[3]["features"])
+    assert len(common) >= n0 * 0.5
+    # tracked normalized x displacement ≈ 6 px / fx
+    dx = []
+    for fid in common:
+        dx.append(out1[3]["features"][fid][0][0]
+                  - out0[3]["features"][fid][0][0])
+    np.testing.assert_allclose(np.median(dx), 6.0 / 230.0, atol=0.002)
+
+
+def test_extra_points_from_disparity():
+    intr = PinholeIntrinsics.make(230.0, 230.0, 160.0, 120.0,
+                                  dtype=jnp.float32)
+    it = InstanceTracker(InstanceTrackerConfig(), intr, baseline=0.5,
+                         p_bc=np.zeros(3), q_bc=[1.0, 0, 0, 0])
+    img, mask = _object_scene(0)
+    # constant disparity 5 px -> depth = 230*0.5/5 = 23 m
+    disp = np.full(img.shape, 5.0, np.float32)
+    out = it.track(img, {1: mask}, disparity=disp,
+                   ego_pose=(np.zeros(3), np.array([1.0, 0, 0, 0])))
+    pts = out[1]["extra_pts_world"]
+    assert pts is not None and len(pts) >= 10
+    np.testing.assert_allclose(pts[:, 2], 23.0, atol=0.01)
+
+
+def test_instance_state_dropped_when_absent():
+    intr = PinholeIntrinsics.make(230.0, 230.0, 160.0, 120.0,
+                                  dtype=jnp.float32)
+    it = InstanceTracker(InstanceTrackerConfig(), intr, baseline=0.11,
+                         p_bc=np.zeros(3), q_bc=[1.0, 0, 0, 0])
+    img, mask = _object_scene(0)
+    it.track(img, {5: mask})
+    assert 5 in it._insts
+    it.track(img, {})
+    assert 5 not in it._insts

@@ -127,7 +127,9 @@ def test_marginalize_second_new_drops_pose():
     prior2 = marg.marginalize_second_new(prior, F)
     J = np.asarray(prior2.jacobian)
     c = layout.pose_col(F - 2)
-    assert np.allclose(J[:, c:c + 6], 0.0)
+    # dropped columns vanish up to eigh reconstruction noise (scales
+    # with the spectral norm of the prior)
+    assert np.abs(J[:, c:c + 6]).max() < 1e-9 * np.abs(J).max()
     # information in other blocks shrinks or stays (PSD ordering)
     H1 = np.asarray(prior.jacobian).T @ np.asarray(prior.jacobian)
     H2 = J.T @ J
