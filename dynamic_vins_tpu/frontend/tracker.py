@@ -80,8 +80,8 @@ class FeatureTracker:
             pts1, ok = self._tracker(self.prev_img, img,
                                      jnp.asarray(self.pts, cfg.dtype),
                                      jnp.asarray(self.valid))
-            pts1 = np.asarray(pts1)
-            ok = np.asarray(ok) & self.valid
+            pts1 = np.array(pts1)
+            ok = np.array(ok) & self.valid
             if mask is not None:
                 ok &= self._mask_ok(mask, pts1)
             self.pts = np.where(ok[:, None], pts1, self.pts)
@@ -101,7 +101,7 @@ class FeatureTracker:
                 exclude_pts=excl_pts, exclude_valid=excl_valid,
                 border=cfg.border)
             new_pts = np.asarray(new_pts)
-            found = np.asarray(found)
+            found = np.array(found)
             if mask is not None:
                 found &= self._mask_ok(mask, new_pts)
             free = np.flatnonzero(~self.valid)

@@ -1,0 +1,105 @@
+"""System orchestration tests (mode matrix + CLI + writers)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamic_vins_tpu.io import perception
+from dynamic_vins_tpu.sim import render, synthetic as sim
+from dynamic_vins_tpu.system import FrameInput, System
+from dynamic_vins_tpu.utils.config import SlamMode, VioConfig
+
+
+def _make_cfg(slam=SlamMode.RAW, tmp=None):
+    from dynamic_vins_tpu.geometry import lie
+
+    rig = render.small_rig(0.5, jnp.float64)
+    cfg = VioConfig()
+    cfg.slam = slam
+    cfg.window_size = 4
+    cfg.max_cnt = 80
+    cfg.min_dist = 10
+    cfg.image_width = rig.width
+    cfg.image_height = rig.height
+    cfg.intrinsics_left = [float(rig.intr.fx), float(rig.intr.fy),
+                           float(rig.intr.cx), float(rig.intr.cy)]
+    T0 = np.eye(4)
+    T0[:3, :3] = np.asarray(lie.quat_to_matrix(rig.q_bc))
+    T0[:3, 3] = np.asarray(rig.p_bc)
+    T1 = np.eye(4)
+    pr, qr = rig.right_extrinsics()
+    T1[:3, :3] = np.asarray(lie.quat_to_matrix(qr))
+    T1[:3, 3] = np.asarray(pr)
+    cfg.body_T_cam0 = T0.reshape(-1).tolist()
+    cfg.body_T_cam1 = T1.reshape(-1).tolist()
+    return cfg, rig
+
+
+def test_system_raw_mode_on_rendered_images(tmp_path):
+    cfg, rig = _make_cfg()
+    seq = sim.generate_sequence(num_frames=8, imu_hz=200.0,
+                                num_landmarks=200, seed=4)
+    seq = seq._replace(rig=rig)
+    inten = render.make_intensities(200, seed=4)
+    from dynamic_vins_tpu.sim import frontend_sim
+    frames_imu = frontend_sim.make_frames(seq)
+
+    sysm = System(cfg, output_prefix=str(tmp_path / "run"))
+    sysm.estimator.set_initial_pose(
+        np.asarray(seq.gt_p[0]), np.asarray(seq.gt_q[0]),
+        np.asarray(sim.state_at(seq.frame_times[0])[2]))
+    import jax
+
+    render_jit = jax.jit(
+        lambda p, q, c: render.render_frame(rig, p, q, seq.landmarks,
+                                            inten, cam=c),
+        static_argnums=2)
+    for k in range(8):
+        img_l = np.asarray(render_jit(seq.gt_p[k], seq.gt_q[k], 0))
+        img_r = np.asarray(render_jit(seq.gt_p[k], seq.gt_q[k], 1))
+        _, imu = frames_imu[k]
+        out = sysm.process(FrameInput(float(seq.frame_times[k]),
+                                      img_l, img_r, imu=imu))
+    summary = sysm.close()
+    assert os.path.exists(str(tmp_path / "run_ego_tum.txt"))
+    t, p, q = np.loadtxt(str(tmp_path / "run_ego_tum.txt")).T[:1], None, None
+    lines = open(str(tmp_path / "run_ego_tum.txt")).readlines()
+    assert len(lines) == 8
+    assert "frontend" in summary and "backend" in summary
+
+
+def test_system_naive_mode_masks_reject_features(tmp_path):
+    cfg, rig = _make_cfg(SlamMode.NAIVE)
+    sysm = System(cfg, output_prefix=str(tmp_path / "run"))
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, size=(rig.height, rig.width)
+                      ).astype(np.float32)
+    dyn = np.zeros((rig.height, rig.width), bool)
+    dyn[:, : rig.width // 2] = True    # left half "dynamic"
+    out = sysm.process(FrameInput(0.0, img, None,
+                                  dynamic_mask=dyn))
+    # all background features on the right half
+    pts = sysm.tracker.pts[sysm.tracker.valid]
+    assert (pts[:, 0] >= rig.width // 2 - 1).all()
+    sysm.close()
+
+
+def test_system_dynamic_mode_smoke(tmp_path):
+    cfg, rig = _make_cfg(SlamMode.DYNAMIC)
+    sysm = System(cfg, output_prefix=str(tmp_path / "run"))
+    rng = np.random.default_rng(0)
+    H, W = rig.height, rig.width
+    img = rng.uniform(0, 255, size=(H, W)).astype(np.float32)
+    mask = np.zeros((H, W), bool)
+    mask[50:110, 100:180] = True
+    seg = perception.SegResult(masks=mask[None], scores=np.array([0.9]),
+                              labels=np.array([2]))
+    out = sysm.process(FrameInput(0.0, img, img, seg=seg,
+                                  disparity=np.full((H, W), 8.0,
+                                                    np.float32)))
+    assert sysm.mot is not None
+    assert len(sysm.mot.tracks) == 1
+    sysm.close()
+    assert os.path.exists(str(tmp_path / "run_mot.txt"))
