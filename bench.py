@@ -86,6 +86,30 @@ def main():
     t1 = time.perf_counter()
 
     iters_per_s = ITERS * reps / (t1 - t0)
+
+    # secondary: pallas LK kernel rate (256 features x 10 iterations)
+    lk_ms = None
+    try:
+        from dynamic_vins_tpu.frontend import pyramid as pyr
+        from dynamic_vins_tpu.ops import lk_pallas
+
+        rng = np.random.default_rng(0)
+        im0 = pyr.gaussian_blur5(jnp.asarray(
+            rng.uniform(0, 255, (480, 752)), jnp.float32))
+        im1 = jnp.roll(im0, 3, axis=1)
+        pts = jnp.asarray(np.stack([rng.uniform(150, 600, 256),
+                                    rng.uniform(150, 330, 256)], -1),
+                          jnp.float32)
+        z = jnp.zeros((256, 2), jnp.float32)
+        f, _ = lk_pallas.lk_level(im0, im1, pts, z)
+        jax.block_until_ready(f)
+        t2 = time.perf_counter()
+        for _ in range(10):
+            f, _ = lk_pallas.lk_level(im0, im1, pts, z)
+        jax.block_until_ready(f)
+        lk_ms = (time.perf_counter() - t2) / 10 * 1000
+    except Exception:
+        pass
     out = {
         "metric": "ba_iterations_per_s",
         "value": round(iters_per_s, 2),
@@ -100,6 +124,8 @@ def main():
             "solve_ms_10iter": round(1000 * (t1 - t0) / reps, 2),
             "cost_drop": [float(info.initial_cost),
                           float(info.final_cost)],
+            "pallas_lk_ms_256pts": (round(lk_ms, 3)
+                                    if lk_ms is not None else None),
         },
     }
     print(json.dumps(out))

@@ -26,7 +26,7 @@ import numpy as np
 from dynamic_vins_tpu.estimator import triangulation
 from dynamic_vins_tpu.estimator.feature_manager import FeatureManager
 from dynamic_vins_tpu.factors import prior as prior_factor
-from dynamic_vins_tpu.geometry import lie
+from dynamic_vins_tpu.geometry import lie, lie_np
 from dynamic_vins_tpu.imu import preintegration as pre
 from dynamic_vins_tpu.solver import gauss_newton as gn
 from dynamic_vins_tpu.solver import layout, marginalization as marg
@@ -72,8 +72,13 @@ class Estimator:
         dt = config.dtype
         self.fm = FeatureManager(num_frames=F, capacity=config.lm_capacity,
                                  obs_capacity=config.obs_capacity)
-        self.state = layout.WindowState.identity(F, dt)._replace(
-            p_bc=jnp.asarray(p_bc, dt), q_bc=jnp.asarray(q_bc, dt))
+        # the window state lives HOST-SIDE as numpy (single mutation site
+        # per stage, one device transfer per jitted call — avoids per-op
+        # dispatch latency, which dominates on remote-attached TPUs)
+        self.state = jax.tree.map(
+            lambda a: np.array(a), layout.WindowState.identity(F, dt))
+        self.state.p_bc[:] = np.asarray(p_bc)
+        self.state.q_bc[:] = np.asarray(q_bc)
         self.prior = prior_factor.MarginalPrior.empty(F, dt)
         self.noise = noise
         self.frame_count = 0          # frames currently in window
@@ -96,6 +101,7 @@ class Estimator:
             max_iters=config.max_iters, use_imu=config.use_imu,
             huber_delta=config.huber_delta)
         self._build_jits()
+        self._pres = self._preintegrate_all()   # per-edge cache
 
         self.im = None
         if config.dynamic:
@@ -108,6 +114,19 @@ class Estimator:
     # ------------------------------------------------------------------
     # jitted device stages
     # ------------------------------------------------------------------
+    @staticmethod
+    def _dev(tree):
+        """Deep-copy host numpy buffers to device values.
+
+        jit auto-conversion of numpy inputs can be ZERO-COPY on the CPU
+        backend while execution is async — any in-place host mutation
+        then races with the device read. Every jit boundary that takes
+        long-lived mutable buffers (window state, IMU ring buffers,
+        fm.inv_depth) must copy."""
+        import jax
+
+        return jax.tree.map(lambda a: jnp.array(a), tree)
+
     def _build_jits(self):
         noise = self.noise
         scfg = self._solver_cfg
@@ -120,6 +139,27 @@ class Estimator:
             return jax.vmap(one)(acc, gyr, dts, mask, ba, bg)
 
         self._preint_edges = preint_edges
+
+        @jax.jit
+        def preint_one(acc, gyr, dts, mask, ba, bg):
+            return pre.preintegrate(acc, gyr, dts, ba, bg, noise=noise,
+                                    valid_mask=mask)
+
+        self._preint_one = preint_one
+
+        @jax.jit
+        def set_edge(pres, e, one):
+            return jax.tree.map(lambda f, o: f.at[e].set(o), pres, one)
+
+        self._set_edge = set_edge
+
+        @jax.jit
+        def roll_edges(pres):
+            def roll(a):
+                return jnp.concatenate([a[1:], a[-1:] * 0], axis=0)
+            return jax.tree.map(roll, pres)
+
+        self._roll_edges = roll_edges
 
         @jax.jit
         def solve(state, inv_depth, problem):
@@ -190,6 +230,24 @@ class Estimator:
 
         self._pnp = pnp
 
+        @jax.jit
+        def propagate_edge(p, q, v, ba, bg, acc, gyr, dts, mask):
+            """IMU-propagate across one edge's padded buffer."""
+            def step(carry, inp):
+                pc, qc, vc = carry
+                a0, g0, a1, g1, dt, m = inp
+                p2, q2, v2 = pre.propagate_state(pc, qc, vc, ba, bg,
+                                                 a0, g0, a1, g1, dt)
+                keep = lambda n, o: jnp.where(m, n, o)
+                return (keep(p2, pc), keep(q2, qc), keep(v2, vc)), None
+
+            (p, q, v), _ = jax.lax.scan(
+                step, (p, q, v),
+                (acc[:-1], gyr[:-1], acc[1:], gyr[1:], dts, mask))
+            return p, q, v
+
+        self._propagate_edge = propagate_edge
+
     # ------------------------------------------------------------------
     # IMU ingestion
     # ------------------------------------------------------------------
@@ -218,14 +276,26 @@ class Estimator:
     def _stacked_imu(self):
         C = self.cfg.imu_per_edge
         mask = np.arange(C)[None, :] < self.imu_n[:, None]
-        return (jnp.asarray(self.imu_acc), jnp.asarray(self.imu_gyr),
-                jnp.asarray(self.imu_dt), jnp.asarray(mask))
+        return (jnp.array(self.imu_acc), jnp.array(self.imu_gyr),
+                jnp.array(self.imu_dt), jnp.asarray(mask))
 
     def _preintegrate_all(self):
         acc, gyr, dts, mask = self._stacked_imu()
-        ba = self.state.ba[:-1]
-        bg = self.state.bg[:-1]
+        ba = jnp.array(self.state.ba[:-1])
+        bg = jnp.array(self.state.bg[:-1])
         return self._preint_edges(acc, gyr, dts, mask, ba, bg)
+
+    def _refresh_edge(self, e: int):
+        """Re-preintegrate one edge (its buffer changed); linearization
+        bias = current estimate at the edge's start frame (VINS
+        semantics: linearize once, correct to first order afterwards)."""
+        C = self.cfg.imu_per_edge
+        mask = jnp.asarray(np.arange(C) < self.imu_n[e])
+        one = self._preint_one(
+            jnp.array(self.imu_acc[e]), jnp.array(self.imu_gyr[e]),
+            jnp.array(self.imu_dt[e]), mask,
+            jnp.array(self.state.ba[e]), jnp.array(self.state.bg[e]))
+        self._pres = self._set_edge(self._pres, e, one)
 
     # ------------------------------------------------------------------
     # frame processing
@@ -247,6 +317,7 @@ class Estimator:
         if imu_interval is not None and cfg.use_imu and k > 0:
             acc, gyr, dts = imu_interval
             self.add_imu_interval(acc, gyr, dts)
+            self._refresh_edge(min(k - 1, F - 2))
 
         self.timestamps[k] = frame.timestamp
         is_keyframe = self.fm.add_features(k, frame.features)
@@ -256,10 +327,9 @@ class Estimator:
             if cfg.use_imu and imu_interval is not None \
                     and not self._pose_preset:
                 acc0 = np.mean(np.asarray(imu_interval[0]), axis=0)
-                R0 = np.asarray(lie.g2R(jnp.asarray(acc0, cfg.dtype)))
+                R0 = np.asarray(lie.g2R(jnp.asarray(acc0)))
                 q0 = np.asarray(lie.matrix_to_quat(jnp.asarray(R0)))
-                self.state = self.state._replace(
-                    q=self.state.q.at[0].set(jnp.asarray(q0, cfg.dtype)))
+                self.state.q[0] = q0
         else:
             self._predict_new_frame(k)
 
@@ -309,16 +379,15 @@ class Estimator:
         im.init_velocity(k, times)
         im.classify_motion(k, times)
         if self.initialized:
+            from dynamic_vins_tpu.geometry import lie_np
+
             F = self.cfg.num_frames
-            p_cw = np.zeros((F, 2, 3))
-            q_cw = np.zeros((F, 2, 4))
-            for f in range(F):
-                for c in range(2):
-                    p_wc, q_wc = lie.pose_compose(
-                        st.p[f], st.q[f], st.p_bc[c], st.q_bc[c])
-                    pc, qc = lie.pose_inverse(p_wc, q_wc)
-                    p_cw[f, c] = np.asarray(pc)
-                    q_cw[f, c] = np.asarray(qc)
+            p_np = np.asarray(st.p)[:, None, :]
+            q_np = np.asarray(st.q)[:, None, :]
+            pbc = np.asarray(st.p_bc)[None, :, :]
+            qbc = np.asarray(st.q_bc)[None, :, :]
+            p_wc, q_wc = lie_np.pose_compose(p_np, q_np, pbc, qbc)
+            p_cw, q_cw = lie_np.pose_inverse(p_wc, q_wc)
             im.optimize(times, p_cw, q_cw)
         im.manage()
 
@@ -336,21 +405,20 @@ class Estimator:
         prev_v = st.v[k - 1]
         if cfg.use_imu and self.imu_n[min(k - 1, cfg.num_frames - 2)] > 0:
             e = min(k - 1, cfg.num_frames - 2)
-            n = int(self.imu_n[e])
-            p, q, v = prev_p, prev_q, prev_v
-            acc = jnp.asarray(self.imu_acc[e, :n + 1], cfg.dtype)
-            gyr = jnp.asarray(self.imu_gyr[e, :n + 1], cfg.dtype)
-            dts = jnp.asarray(self.imu_dt[e, :n], cfg.dtype)
-            for i in range(n):
-                p, q, v = pre.propagate_state(
-                    p, q, v, st.ba[k - 1], st.bg[k - 1],
-                    acc[i], gyr[i], acc[i + 1], gyr[i + 1], dts[i])
+            C = cfg.imu_per_edge
+            mask = jnp.asarray(np.arange(C) < self.imu_n[e])
+            p, q, v = self._propagate_edge(
+                jnp.array(prev_p), jnp.array(prev_q), jnp.array(prev_v),
+                jnp.array(st.ba[k - 1]), jnp.array(st.bg[k - 1]),
+                jnp.array(self.imu_acc[e]), jnp.array(self.imu_gyr[e]),
+                jnp.array(self.imu_dt[e]), mask)
         else:
             p, q, v = prev_p, prev_q, prev_v
-        self.state = st._replace(
-            p=st.p.at[k].set(p), q=st.q.at[k].set(q), v=st.v.at[k].set(v),
-            ba=st.ba.at[k].set(st.ba[k - 1]),
-            bg=st.bg.at[k].set(st.bg[k - 1]))
+        st.p[k] = np.asarray(p)
+        st.q[k] = np.asarray(q)
+        st.v[k] = np.asarray(v)
+        st.ba[k] = st.ba[k - 1]
+        st.bg[k] = st.bg[k - 1]
         # refine with PnP on known landmarks (InitFramePoseByPnP)
         self._pnp_refine(k)
 
@@ -371,34 +439,35 @@ class Estimator:
         pw[:slots.size] = pts_w
         pn[:slots.size] = pts_norm
         valid[:slots.size] = True
+        from dynamic_vins_tpu.geometry import lie_np
+
         st = self.state
-        p_wc, q_wc = lie.pose_compose(st.p[k], st.q[k],
-                                      st.p_bc[0], st.q_bc[0])
-        p_cw0, q_cw0 = lie.pose_inverse(p_wc, q_wc)
-        p_cw, q_cw, err = self._pnp(jnp.asarray(pw, cfg.dtype),
-                                    jnp.asarray(pn, cfg.dtype),
-                                    jnp.asarray(valid), p_cw0, q_cw0)
+        p_wc0, q_wc0 = lie_np.pose_compose(st.p[k], st.q[k],
+                                           st.p_bc[0], st.q_bc[0])
+        p_cw0, q_cw0 = lie_np.pose_inverse(p_wc0, q_wc0)
+        p_cw, q_cw, err = self._pnp(pw, pn, valid, p_cw0, q_cw0)
         if not np.isfinite(float(err)) or float(err) > 0.05:
             return
-        p_wc, q_wc = lie.pose_inverse(p_cw, q_cw)
-        p_cb, q_cb = lie.pose_inverse(st.p_bc[0], st.q_bc[0])
-        p_wb, q_wb = lie.pose_compose(p_wc, q_wc, p_cb, q_cb)
-        self.state = st._replace(p=st.p.at[k].set(p_wb),
-                                 q=st.q.at[k].set(q_wb))
+        p_wc, q_wc = lie_np.pose_inverse(np.asarray(p_cw),
+                                         np.asarray(q_cw))
+        p_cb, q_cb = lie_np.pose_inverse(st.p_bc[0], st.q_bc[0])
+        p_wb, q_wb = lie_np.pose_compose(p_wc, q_wc, p_cb, q_cb)
+        st.p[k] = p_wb
+        st.q[k] = q_wb
 
     def _landmark_world_positions(self, slots):
+        from dynamic_vins_tpu.geometry import lie_np
+
         fm = self.fm
         st = self.state
         anchors = fm.start_frame[slots]
         pts = fm.pt[slots, anchors] / fm.inv_depth[slots][:, None]
         p_a = np.asarray(st.p)[anchors]
         q_a = np.asarray(st.q)[anchors]
-        p_bc = np.asarray(st.p_bc[0])
-        q_bc = np.asarray(st.q_bc[0])
-        pts_j = jnp.asarray(pts)
-        p_wc, q_wc = lie.pose_compose(jnp.asarray(p_a), jnp.asarray(q_a),
-                                      jnp.asarray(p_bc), jnp.asarray(q_bc))
-        return np.asarray(lie.pose_transform_point(p_wc, q_wc, pts_j))
+        p_wc, q_wc = lie_np.pose_compose(
+            p_a, q_a, np.asarray(st.p_bc[0])[None, :],
+            np.asarray(st.q_bc[0])[None, :])
+        return lie_np.pose_transform_point(p_wc, q_wc, pts)
 
     def _triangulate_new(self, k):
         """Assign depths to landmarks without one (stereo first, then
@@ -424,7 +493,8 @@ class Estimator:
                     ptl = np.zeros((cap, 3)); ptl[:n] = fm.pt[sel, f]
                     ptr = np.zeros((cap, 3)); ptr[:n] = fm.pt_right[sel, f]
                     d = np.asarray(self._triangulate_stereo(
-                        st.p[f], st.q[f], st.p_bc, st.q_bc,
+                        jnp.array(st.p[f]), jnp.array(st.q[f]),
+                        jnp.array(st.p_bc), jnp.array(st.q_bc),
                         jnp.asarray(ptl, cfg.dtype),
                         jnp.asarray(ptr, cfg.dtype)))[:n]
                     ok = (d > 0.1) & (d < cfg.max_depth) & np.isfinite(d)
@@ -443,8 +513,9 @@ class Estimator:
                 pti = np.zeros((cap, 3)); pti[:n] = fm.pt[sel, f]
                 ptj = np.zeros((cap, 3)); ptj[:n] = fm.pt[sel, k]
                 d = np.asarray(self._triangulate_two_frame(
-                    st.p[f], st.q[f], st.p[k], st.q[k],
-                    st.p_bc[0], st.q_bc[0],
+                    jnp.array(st.p[f]), jnp.array(st.q[f]),
+                    jnp.array(st.p[k]), jnp.array(st.q[k]),
+                    jnp.array(st.p_bc[0]), jnp.array(st.q_bc[0]),
                     jnp.asarray(pti, cfg.dtype),
                     jnp.asarray(ptj, cfg.dtype)))[:n]
                 ok = (d > 0.1) & (d < cfg.max_depth) & np.isfinite(d)
@@ -457,31 +528,31 @@ class Estimator:
         cfg = self.cfg
         if cfg.use_imu:
             # gyro bias from visual rotations vs preintegrated rotations
-            pres = self._preintegrate_all()
+            pres = self._pres
             st = self.state
-            q_est = lie.quat_multiply(
-                lie.quat_conjugate(st.q[:-1]), st.q[1:])
+            q_est = jnp.asarray(lie_np.quat_multiply(
+                lie_np.quat_conjugate(st.q[:-1]), st.q[1:]))
             dbg = triangulation.solve_gyro_bias(
                 pres.dq_dbg, pres.delta_q, q_est)
-            dbg = jnp.where(jnp.isfinite(dbg), dbg, 0.0)
-            new_bg = st.bg + dbg[None, :]
-            self.state = st._replace(bg=new_bg)
+            dbg = np.asarray(jnp.where(jnp.isfinite(dbg), dbg, 0.0))
+            st.bg[:] = st.bg + dbg[None, :]
             # init velocities by finite differences
             dt = np.diff(self.timestamps[:cfg.num_frames])
             dt = np.maximum(dt, 1e-3)
-            p = np.asarray(st.p)
+            p = st.p
             v = np.zeros_like(p)
             v[:-1] = (p[1:] - p[:-1]) / dt[:, None]
             v[-1] = v[-2]
-            self.state = self.state._replace(
-                v=jnp.asarray(v, cfg.dtype))
+            st.v[:] = v
+            # re-linearize every edge at the solved gyro bias
+            self._pres = self._preintegrate_all()
         self.initialized = True
 
     # ------------------------------------------------------------------
     def _build_problem(self):
         cfg = self.cfg
         obs, lm_valid = self.fm.build_obs_table(cfg.dtype)
-        pres = self._preintegrate_all()
+        pres = self._pres
         E = cfg.num_frames - 1
         imu_valid = jnp.asarray(
             (self.imu_n > 0) & cfg.use_imu
@@ -501,12 +572,13 @@ class Estimator:
 
     def _optimize(self):
         problem = self._build_problem()
-        inv_depth = jnp.asarray(self.fm.inv_depth, self.cfg.dtype)
-        st, dep, info = self._solve(self.state, inv_depth, problem)
+        inv_depth = jnp.array(self.fm.inv_depth)
+        st, dep, info = self._solve(self._dev(self.state), inv_depth,
+                                    problem)
         if not np.isfinite(float(info.final_cost)):
             self.failed = True
             return
-        self.state = st
+        self.state = jax.tree.map(lambda a: np.array(a), st)
         self.fm.set_depths(np.asarray(dep))
         self._last_problem = problem
 
@@ -514,8 +586,9 @@ class Estimator:
         if not hasattr(self, "_last_problem"):
             return
         obs, lm_valid = self.fm.build_obs_table(self.cfg.dtype)
-        inv_depth = jnp.asarray(self.fm.inv_depth, self.cfg.dtype)
-        scores, counts = self._outlier_scores(self.state, inv_depth, obs)
+        inv_depth = jnp.array(self.fm.inv_depth)
+        scores, counts = self._outlier_scores(self._dev(self.state),
+                                              inv_depth, obs)
         bad = (np.asarray(scores) > self.cfg.outlier_thresh) \
             & np.asarray(lm_valid)
         if bad.any():
@@ -525,9 +598,9 @@ class Estimator:
         """Active failure detection (reference's is stubbed at
         estimator.cpp:1157-1196; same checks, actually enabled)."""
         st = self.state
-        ba_norm = float(jnp.linalg.norm(st.ba[-1]))
-        bg_norm = float(jnp.linalg.norm(st.bg[-1]))
-        bad = (not np.all(np.isfinite(np.asarray(st.p)))
+        ba_norm = float(np.linalg.norm(st.ba[-1]))
+        bg_norm = float(np.linalg.norm(st.bg[-1]))
+        bad = (not np.all(np.isfinite(st.p))
                or ba_norm > 2.5 or bg_norm > 1.0)
         if bad:
             self.failed = True
@@ -538,9 +611,9 @@ class Estimator:
         if is_keyframe:
             problem = self._build_problem()
             drop_lm = self.fm.anchored_at_mask(0)
-            inv_depth = jnp.asarray(self.fm.inv_depth, cfg.dtype)
-            prior = self._marg_old(self.state, inv_depth, problem,
-                                   drop_lm)
+            inv_depth = jnp.array(self.fm.inv_depth)
+            prior = self._marg_old(self._dev(self.state), inv_depth,
+                                   problem, drop_lm)
             self._slide(True)
             self.prior = marg.shift_prior_after_slide_old(prior,
                                                           self.state)
@@ -560,29 +633,29 @@ class Estimator:
         if old:
             # depth re-anchor to frame 1 before shifting
             def reanchor(slots):
+                from dynamic_vins_tpu.geometry import lie_np
+
                 fm = self.fm
                 p0 = np.asarray(st.p); q0 = np.asarray(st.q)
-                p_bc = np.asarray(st.p_bc[0]); q_bc = np.asarray(st.q_bc[0])
+                p_bc = np.asarray(st.p_bc[0])
+                q_bc = np.asarray(st.q_bc[0])
                 pts = fm.pt[slots, 0] / fm.inv_depth[slots][:, None]
-                p_wc0, q_wc0 = lie.pose_compose(
-                    jnp.asarray(p0[0]), jnp.asarray(q0[0]),
-                    jnp.asarray(p_bc), jnp.asarray(q_bc))
-                pw = lie.pose_transform_point(p_wc0, q_wc0,
-                                              jnp.asarray(pts))
-                p_wc1, q_wc1 = lie.pose_compose(
-                    jnp.asarray(p0[1]), jnp.asarray(q0[1]),
-                    jnp.asarray(p_bc), jnp.asarray(q_bc))
-                p_cw1, q_cw1 = lie.pose_inverse(p_wc1, q_wc1)
-                pc1 = lie.pose_transform_point(p_cw1, q_cw1, pw)
-                d = np.asarray(pc1)[:, 2]
+                p_wc0, q_wc0 = lie_np.pose_compose(p0[0], q0[0],
+                                                   p_bc, q_bc)
+                pw = lie_np.pose_transform_point(p_wc0[None, :],
+                                                 q_wc0[None, :], pts)
+                p_wc1, q_wc1 = lie_np.pose_compose(p0[1], q0[1],
+                                                   p_bc, q_bc)
+                p_cw1, q_cw1 = lie_np.pose_inverse(p_wc1, q_wc1)
+                pc1 = lie_np.pose_transform_point(p_cw1[None, :],
+                                                  q_cw1[None, :], pw)
+                d = pc1[:, 2]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     return np.where(d > 1e-3, 1.0 / d, np.nan)
 
             self.fm.slide_old(reanchor)
-            roll = lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0)
-            self.state = st._replace(
-                p=roll(st.p), q=roll(st.q), v=roll(st.v),
-                ba=roll(st.ba), bg=roll(st.bg))
+            for a in (st.p, st.q, st.v, st.ba, st.bg):
+                a[:-1] = a[1:]
             self.timestamps[:-1] = self.timestamps[1:]
             # IMU edges shift down; newest edge resets
             self.imu_acc[:-1] = self.imu_acc[1:]
@@ -591,13 +664,12 @@ class Estimator:
             self.imu_n[:-1] = self.imu_n[1:]
             self.imu_n[-1] = 0
             self.imu_dt[-1] = 0
+            self._pres = self._roll_edges(self._pres)
         else:
             # newest replaces second-newest; IMU edges merge
             F2, F1 = F - 2, F - 1
-            rep = lambda a: a.at[F2].set(a[F1])
-            self.state = st._replace(
-                p=rep(st.p), q=rep(st.q), v=rep(st.v),
-                ba=rep(st.ba), bg=rep(st.bg))
+            for a in (st.p, st.q, st.v, st.ba, st.bg):
+                a[F2] = a[F1]
             self.timestamps[F2] = self.timestamps[F1]
             e2, e1 = F - 3, F - 2
             n2, n1 = int(self.imu_n[e2]), int(self.imu_n[e1])
@@ -612,6 +684,9 @@ class Estimator:
                 self.imu_n[e2] = n2 + take
             self.imu_n[e1] = 0
             self.imu_dt[e1] = 0
+            self._refresh_edge(e2)
+            zero = jax.tree.map(lambda x: x[e1] * 0, self._pres)
+            self._pres = self._set_edge(self._pres, e1, zero)
             self.fm.slide_new()
         if self.im is not None and old:
             self.im.slide_window()
@@ -623,22 +698,18 @@ class Estimator:
         st = self.state
         return OdometryOut(
             timestamp=float(self.timestamps[k]),
-            p=np.asarray(st.p[k]), q=np.asarray(st.q[k]),
-            v=np.asarray(st.v[k]))
+            p=st.p[k].copy(), q=st.q[k].copy(), v=st.v[k].copy())
 
     def set_initial_pose(self, p, q, v=None):
         """Anchor the world frame (otherwise gravity-aligned, yaw-free)."""
-        dt = self.cfg.dtype
-        st = self.state
-        st = st._replace(p=st.p.at[0].set(jnp.asarray(p, dt)),
-                         q=st.q.at[0].set(jnp.asarray(q, dt)))
+        self.state.p[0] = np.asarray(p)
+        self.state.q[0] = np.asarray(q)
         if v is not None:
-            st = st._replace(v=st.v.at[0].set(jnp.asarray(v, dt)))
-        self.state = st
+            self.state.v[0] = np.asarray(v)
         self._pose_preset = True
 
     def reset(self):
         """ClearState + reboot (reference estimator.cpp:1641-1648)."""
         cfg = self.cfg
-        p_bc, q_bc = self.state.p_bc, self.state.q_bc
+        p_bc, q_bc = self.state.p_bc.copy(), self.state.q_bc.copy()
         self.__init__(cfg, p_bc, q_bc, self.noise)

@@ -140,22 +140,38 @@ class FeatureManager:
         if n > self.obs_capacity:
             # drop overflow rows (log-worthy; capacity sized to avoid this)
             n = self.obs_capacity
-        obs = ProjObs.empty(self.obs_capacity, dtype=dtype)
-        if n:
-            idx = np.arange(n)
-            obs = obs._replace(
-                frame_i=obs.frame_i.at[idx].set(
-                    np.asarray(fi[:n], np.int32)),
-                frame_j=obs.frame_j.at[idx].set(
-                    np.asarray(fj[:n], np.int32)),
-                cam_j=obs.cam_j.at[idx].set(np.asarray(cj[:n], np.int32)),
-                lm=obs.lm.at[idx].set(np.asarray(lm[:n], np.int32)),
-                pt_i=obs.pt_i.at[idx].set(np.asarray(pi_l[:n])),
-                pt_j=obs.pt_j.at[idx].set(np.asarray(pj_l[:n])),
-                vel_i=obs.vel_i.at[idx].set(np.asarray(vi_l[:n])),
-                vel_j=obs.vel_j.at[idx].set(np.asarray(vj_l[:n])),
-                valid=obs.valid.at[idx].set(True),
-            )
+        # assemble host-side, ONE device transfer (avoids per-row jnp
+        # dispatch and shape-polymorphic recompilation)
+        C = self.obs_capacity
+
+        def pad_i(a):
+            out = np.zeros(C, np.int32)
+            out[:n] = np.asarray(a[:n], np.int32)
+            return out
+
+        def pad_f(a, fill):
+            out = np.full((C, 3), fill)
+            if n:
+                out[:n] = np.asarray(a[:n])
+            return out
+
+        valid = np.zeros(C, bool)
+        valid[:n] = True
+        zero3 = np.zeros((C, 3))
+        zero3[:, 2] = 1.0
+        obs = ProjObs(
+            frame_i=jnp.asarray(pad_i(fi)),
+            frame_j=jnp.asarray(pad_i(fj)),
+            cam_j=jnp.asarray(pad_i(cj)),
+            lm=jnp.asarray(pad_i(lm)),
+            pt_i=jnp.asarray(pad_f(pi_l, 0.0) if n else zero3, dtype),
+            pt_j=jnp.asarray(pad_f(pj_l, 0.0) if n else zero3, dtype),
+            vel_i=jnp.asarray(np.zeros((C, 3)) if not n
+                              else pad_f(vi_l, 0.0), dtype),
+            vel_j=jnp.asarray(np.zeros((C, 3)) if not n
+                              else pad_f(vj_l, 0.0), dtype),
+            td_ref=jnp.zeros((C,), dtype),
+            valid=jnp.asarray(valid))
         lm_valid = jnp.asarray(mask)
         return obs, lm_valid
 

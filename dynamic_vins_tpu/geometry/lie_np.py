@@ -1,0 +1,57 @@
+"""Tiny numpy mirror of the Lie ops for host-side bookkeeping.
+
+The estimator's per-frame host logic (slot gathering, re-anchoring,
+PnP setup) works on a handful of values; routing those through jnp
+causes shape-polymorphic recompilation storms. These numpy twins keep
+host math host-side. Semantics identical to geometry/lie.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def quat_conjugate(q):
+    return q * np.array([1.0, -1.0, -1.0, -1.0])
+
+
+def quat_multiply(q1, q2):
+    w1, x1, y1, z1 = np.moveaxis(q1, -1, 0)
+    w2, x2, y2, z2 = np.moveaxis(q2, -1, 0)
+    return np.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ], axis=-1)
+
+
+def quat_rotate(q, v):
+    w = q[..., :1]
+    xyz = q[..., 1:]
+    t = 2.0 * np.cross(xyz, v)
+    return v + w * t + np.cross(xyz, t)
+
+
+def quat_to_matrix(q):
+    w, x, y, z = np.moveaxis(q, -1, 0)
+    tx, ty, tz = 2 * x, 2 * y, 2 * z
+    m = np.stack([
+        1 - (ty * y + tz * z), tx * y - tz * w, tx * z + ty * w,
+        tx * y + tz * w, 1 - (tx * x + tz * z), ty * z - tx * w,
+        tx * z - ty * w, ty * z + tx * w, 1 - (tx * x + ty * y),
+    ], axis=-1)
+    return m.reshape(q.shape[:-1] + (3, 3))
+
+
+def pose_compose(p1, q1, p2, q2):
+    return p1 + quat_rotate(q1, p2), quat_multiply(q1, q2)
+
+
+def pose_inverse(p, q):
+    qi = quat_conjugate(q)
+    return -quat_rotate(qi, p), qi
+
+
+def pose_transform_point(p, q, x):
+    return quat_rotate(q, x) + p

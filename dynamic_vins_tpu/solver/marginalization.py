@@ -14,6 +14,7 @@ column indexing + a column permutation at slide time.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from dynamic_vins_tpu.factors import prior as prior_factor
@@ -112,8 +113,11 @@ def marginalize_old(state: layout.WindowState, inv_depth,
     S, bk = _schur_eliminate(H1, b1, _drop_indices_old(F))
 
     J0, r0 = _sqrt_factorize(S, bk)
+    # materialize the linearization point: a passthrough output would
+    # alias the caller's (possibly host-mutated numpy) input buffer
+    lin_state = jax.tree.map(lambda a: a + 0, state)
     return prior_factor.MarginalPrior(
-        lin_state=state, jacobian=J0, residual=r0,
+        lin_state=lin_state, jacobian=J0, residual=r0,
         valid=jnp.ones((), bool))
 
 
