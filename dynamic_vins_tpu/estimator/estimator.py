@@ -47,14 +47,21 @@ class EstimatorConfig:
     outlier_thresh: float = 3.0 / 460.0   # reproj err, normalized plane
     max_depth: float = 200.0
     dynamic: bool = False           # per-object estimation (slam: dynamic)
+    use_line: bool = False          # LinePoint mode (PL-VINS capability)
+    line_capacity: int = 64
+    line_obs_capacity: int = 512
     dtype: object = jnp.float64
 
 
 class FrameFeatures(NamedTuple):
-    """Per-frame frontend output: {id: (pt_l, vel_l, pt_r|None, vel_r)}."""
+    """Per-frame frontend output: {id: (pt_l, vel_l, pt_r|None, vel_r)}.
+
+    lines (LinePoint mode): {line_id: (s_l, e_l, s_r|None, e_r|None)}
+    normalized endpoints."""
 
     timestamp: float
     features: dict
+    lines: dict = None
 
 
 class OdometryOut(NamedTuple):
@@ -102,6 +109,14 @@ class Estimator:
             huber_delta=config.huber_delta)
         self._build_jits()
         self._pres = self._preintegrate_all()   # per-edge cache
+
+        self.lines = None
+        if config.use_line:
+            from dynamic_vins_tpu.estimator.line_manager import LineManager
+
+            self.lines = LineManager(num_frames=F,
+                                     capacity=config.line_capacity,
+                                     obs_capacity=config.line_obs_capacity)
 
         self.im = None
         if config.dynamic:
@@ -166,6 +181,29 @@ class Estimator:
             return gn.solve(state, inv_depth, problem, scfg)
 
         self._solve = solve
+
+        @jax.jit
+        def solve_lines(state, inv_depth, problem, line_orth):
+            return gn.solve(state, inv_depth, problem, scfg,
+                            line_orth=line_orth)
+
+        self._solve_lines = solve_lines
+
+        @jax.jit
+        def line_scores(state, line_orth, obs):
+            from dynamic_vins_tpu.factors import line_factor
+
+            r = line_factor.residual_only(state, line_orth, obs,
+                                          sqrt_info=1.0)
+            err = jnp.mean(jnp.abs(r), axis=-1)
+            Lc = line_orth.shape[0]
+            w = obs.valid.astype(err.dtype)
+            ssum = jax.ops.segment_sum(err * w, obs.line,
+                                       num_segments=Lc)
+            n = jax.ops.segment_sum(w, obs.line, num_segments=Lc)
+            return ssum / jnp.maximum(n, 1.0)
+
+        self._line_scores = line_scores
 
         @jax.jit
         def marg_old(state, inv_depth, problem, drop_lm):
@@ -321,6 +359,8 @@ class Estimator:
 
         self.timestamps[k] = frame.timestamp
         is_keyframe = self.fm.add_features(k, frame.features)
+        if self.lines is not None and frame.lines:
+            self.lines.add_lines(k, frame.lines)
 
         # initial pose for the new frame
         if k == 0:
@@ -335,6 +375,8 @@ class Estimator:
 
         # triangulate what we can at this frame
         self._triangulate_new(k)
+        if self.lines is not None:
+            self.lines.triangulate(self.state, k)
 
         if not self.initialized:
             if k == F - 1:
@@ -573,13 +615,31 @@ class Estimator:
     def _optimize(self):
         problem = self._build_problem()
         inv_depth = jnp.array(self.fm.inv_depth)
-        st, dep, info = self._solve(self._dev(self.state), inv_depth,
-                                    problem)
+        use_lines = (self.lines is not None
+                     and bool((self.lines.active
+                               & self.lines.orth_valid).any()))
+        if use_lines:
+            line_obs, line_valid = self.lines.build_obs_table(
+                self.cfg.dtype)
+            problem = problem._replace(line_obs=line_obs,
+                                       line_valid=line_valid)
+            orth0 = jnp.array(self.lines.orth)
+            st, dep, orth, info = self._solve_lines(
+                self._dev(self.state), inv_depth, problem, orth0)
+        else:
+            st, dep, info = self._solve(self._dev(self.state),
+                                        inv_depth, problem)
         if not np.isfinite(float(info.final_cost)):
             self.failed = True
             return
         self.state = jax.tree.map(lambda a: np.array(a), st)
         self.fm.set_depths(np.asarray(dep))
+        if use_lines:
+            self.lines.set_orth(np.asarray(orth))
+            scores = self._line_scores(self._dev(self.state),
+                                       jnp.array(self.lines.orth),
+                                       line_obs)
+            self.lines.remove_outliers(np.asarray(scores))
         self._last_problem = problem
 
     def _reject_outliers(self):
@@ -654,6 +714,8 @@ class Estimator:
                     return np.where(d > 1e-3, 1.0 / d, np.nan)
 
             self.fm.slide_old(reanchor)
+            if self.lines is not None:
+                self.lines.slide_old()
             for a in (st.p, st.q, st.v, st.ba, st.bg):
                 a[:-1] = a[1:]
             self.timestamps[:-1] = self.timestamps[1:]
@@ -688,6 +750,8 @@ class Estimator:
             zero = jax.tree.map(lambda x: x[e1] * 0, self._pres)
             self._pres = self._set_edge(self._pres, e1, zero)
             self.fm.slide_new()
+            if self.lines is not None:
+                self.lines.slide_new()
         if self.im is not None and old:
             self.im.slide_window()
         # window stays full: next frame lands in the last slot

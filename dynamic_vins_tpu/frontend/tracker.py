@@ -37,6 +37,9 @@ class TrackerConfig:
     fb_thresh: float = 0.5
     border: int = 8
     stereo: bool = True
+    use_ransac_f: bool = True     # rejectWithF (F_threshold yaml key)
+    f_threshold_px: float = 1.0
+    focal: float = 460.0
     dtype: object = jnp.float32
 
 
@@ -113,6 +116,26 @@ class FeatureTracker:
             self._next_id += cand.size
             self.track_cnt[slots] = 1
             self.valid[slots] = True
+
+        # 2b. epipolar outlier rejection (FeatureTracker::rejectWithF)
+        if cfg.use_ransac_f and self.prev_und is not None \
+                and int((self.valid & (self.track_cnt > 1)).sum()) >= 15:
+            try:
+                import cv2
+
+                sel = np.flatnonzero(self.valid & (self.track_cnt > 1))
+                cur_und = np.asarray(self._und_left(
+                    jnp.asarray(self.pts, cfg.dtype)))
+                p_prev = self.prev_und[sel] * cfg.focal
+                p_cur = cur_und[sel] * cfg.focal
+                _, inl = cv2.findFundamentalMat(
+                    p_prev, p_cur, cv2.FM_RANSAC,
+                    cfg.f_threshold_px, 0.99)
+                if inl is not None:
+                    bad = sel[~inl.ravel().astype(bool)]
+                    self.valid[bad] = False
+            except Exception:
+                pass
 
         # 3. undistort + velocity
         und = np.asarray(self._und_left(jnp.asarray(self.pts,

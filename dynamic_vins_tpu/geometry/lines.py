@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from dynamic_vins_tpu.geometry import lie
+from dynamic_vins_tpu.geometry.lie import hat
 
 
 def plucker_from_two_points(p1, p2):
@@ -125,6 +126,56 @@ def triangulate_line_two_view(p_cw0, q_cw0, p_cw1, q_cw1,
     pi0 = plane_from_point_line(c0, s0_w, e0_w)
     pi1 = plane_from_point_line(c1, s1_w, e1_w)
     return plucker_from_two_planes(pi0, pi1)
+
+
+def triangulate_line_multiview(p_cw, q_cw, s_obs, e_obs, valid):
+    """Robust multi-view line fit (all observations at once).
+
+    p_cw/q_cw: [K,3]/[K,4] world->camera transforms; s_obs/e_obs: [K,3]
+    normalized endpoints; valid: [K]. Each view constrains the world
+    Plücker line (n,d) by: the projected line n_c must be parallel to
+    the observed image line l_obs = s x e, i.e. [l_obs]x n_c = 0 with
+    n_c = R n + [p]x R d — two independent linear rows per view.
+    Formulation: each view back-projects its observed image line to a
+    WORLD plane through the camera center with normal m_k = R_cwᵀ l_obs.
+    The 3D line lies in every such plane, so:
+      (a) direction: d ⟂ m_k for all k  -> d = smallest right singular
+          vector of the stacked normals M [K,3];
+      (b) point: p0 with m_kᵀ p0 = m_kᵀ c_k, solved in the 2-dof plane
+          p0 ⟂ d (kills the translation-along-line gauge).
+    (A naive homogeneous SVD over (n,d) admits the degenerate family of
+    lines through the camera centers, which project to n_c = 0 — this
+    formulation has no trivial solutions.)
+    Returns (n_w [3], d_w [3], residual_ratio)."""
+    R = lie.quat_to_matrix(q_cw)                    # [K,3,3] world->cam
+    l_obs = jnp.cross(s_obs, e_obs)
+    l_obs = l_obs / jnp.maximum(
+        jnp.linalg.norm(l_obs, axis=-1, keepdims=True), 1e-12)
+    # world-frame viewing-plane normals and camera centers
+    m = jnp.einsum("kij,ki->kj", R, l_obs)          # Rᵀ l
+    m = m * valid[:, None]
+    centers = -jnp.einsum("kij,ki->kj", R, p_cw)    # c = -Rᵀ p_cw
+
+    # direction: nullspace of M
+    _, sv, vt = jnp.linalg.svd(m, full_matrices=False)
+    d = vt[-1]
+    ratio = sv[-1] / jnp.maximum(sv[0], 1e-12)
+
+    # point: LS in the plane orthogonal to d
+    tmp = jnp.where(jnp.abs(d[2]) < 0.9,
+                    jnp.array([0.0, 0.0, 1.0], d.dtype),
+                    jnp.array([1.0, 0.0, 0.0], d.dtype))
+    b1 = jnp.cross(d, tmp)
+    b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+    b2 = jnp.cross(d, b1)
+    B = jnp.stack([b1, b2], axis=1)                 # [3,2]
+    A2 = m @ B                                      # [K,2]
+    rhs = jnp.sum(m * centers, axis=-1)             # [K]
+    AtA = A2.T @ A2 + 1e-12 * jnp.eye(2, dtype=d.dtype)
+    y = jnp.linalg.solve(AtA, A2.T @ rhs)
+    p0 = B @ y
+    n = jnp.cross(p0, d)
+    return n, d, ratio
 
 
 def endpoint_trim(n_w, d_w, p_cw, q_cw, s_obs, e_obs):

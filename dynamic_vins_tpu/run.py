@@ -155,6 +155,65 @@ def run_euroc(args):
     return 0
 
 
+def run_kitti(args):
+    """KITTI tracking with offline perception artifacts (the reference's
+    dominant configuration: SOLOv2 .pt seg + FCOS3D txt + LEAStereo
+    disparity read from disk; detector3d.cpp is offline-only)."""
+    import os
+
+    from dynamic_vins_tpu.io import perception
+    from dynamic_vins_tpu.io.datasets import KittiTrackingDataset
+    from dynamic_vins_tpu.system import FrameInput, System
+    from dynamic_vins_tpu.utils.config import (DatasetType, SlamMode,
+                                               VioConfig)
+
+    if args.config:
+        cfg = VioConfig.from_yaml(args.config, args.seq)
+    else:
+        cfg = VioConfig()
+        cfg.dataset = DatasetType.KITTI
+        cfg.slam = SlamMode(args.slam)
+        cfg.use_imu = False          # KITTI tracking: VO mode
+        # KITTI P2 intrinsics (image_02) typical values
+        cfg.intrinsics_left = [721.5377, 721.5377, 609.5593, 172.854]
+        cfg.body_T_cam0 = np.eye(4).reshape(-1).tolist()
+        T1 = np.eye(4)
+        T1[0, 3] = 0.537
+        cfg.body_T_cam1 = T1.reshape(-1).tolist()
+
+    ds = KittiTrackingDataset(args.left, args.right)
+    sysm = System(cfg, output_prefix=args.output)
+    count = 0
+    t0 = time.perf_counter()
+    for fr in ds.frames():
+        if args.max_frames and count >= args.max_frames:
+            break
+        seq_str = f"{count:06d}"
+        seg = None
+        if args.seg_dir:
+            seg = perception.read_solo_seg_pt(args.seg_dir, seq_str)
+        boxes3d = None
+        if args.det3d_dir:
+            boxes3d = perception.read_fcos3d_txt(
+                os.path.join(args.det3d_dir, seq_str + ".txt"))
+        disparity = None
+        if args.disp_dir:
+            disparity = perception.read_disparity_png(
+                os.path.join(args.disp_dir, seq_str + ".png"))
+        sysm.process(FrameInput(fr.t, fr.img_left, fr.img_right,
+                                seg=seg, boxes3d=boxes3d,
+                                disparity=disparity))
+        count += 1
+    wall = time.perf_counter() - t0
+    summary = sysm.close()
+    print(f"frames={count} fps={count / max(wall, 1e-9):.2f} "
+          f"stages={summary}")
+    print(f"outputs: {args.output}_ego_tum.txt"
+          + (f", {args.output}_mot.txt"
+             if cfg.slam == SlamMode.DYNAMIC else ""))
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default=None)
@@ -171,14 +230,23 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--output", default="output/run")
+    ap.add_argument("--seg-dir", default=None,
+                    help="offline SOLOv2 .pt tensors dir")
+    ap.add_argument("--det3d-dir", default=None,
+                    help="offline FCOS3D txt dir")
+    ap.add_argument("--disp-dir", default=None,
+                    help="offline LEAStereo disparity PNG dir")
     args = ap.parse_args(argv)
 
     if args.dataset == "synthetic":
         return run_synthetic(args)
     if args.dataset == "euroc":
         return run_euroc(args)
-    raise SystemExit("kitti runner requires --left/--right dirs; "
-                     "offline perception wiring in io/perception.py")
+    if args.dataset == "kitti":
+        if not args.left:
+            raise SystemExit("kitti requires --left (and optionally "
+                             "--right/--seg-dir/--det3d-dir/--disp-dir)")
+        return run_kitti(args)
 
 
 if __name__ == "__main__":
