@@ -772,6 +772,80 @@ class Estimator:
             self.state.v[0] = np.asarray(v)
         self._pose_preset = True
 
+    # ------------------------------------------------------------------
+    # checkpoint / resume (beyond reference parity — the reference has
+    # no state snapshots, SURVEY.md §5)
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str):
+        """Snapshot the full estimator state to one .npz file."""
+        fm = self.fm
+        prior = jax.tree.map(np.asarray, self.prior)
+        pres = jax.tree.map(np.asarray, self._pres)
+        np.savez_compressed(
+            path,
+            state=np.array([], dtype=np.float64),  # marker
+            **{f"st_{k}": np.asarray(v)
+               for k, v in self.state._asdict().items()},
+            **{f"prior_ls_{k}": np.asarray(v)
+               for k, v in prior.lin_state._asdict().items()},
+            prior_jacobian=np.asarray(prior.jacobian),
+            prior_residual=np.asarray(prior.residual),
+            prior_valid=np.asarray(prior.valid),
+            **{f"pres_{i}": np.asarray(v)
+               for i, v in enumerate(pres)},
+            fm_active=fm.active, fm_feature_id=fm.feature_id,
+            fm_start_frame=fm.start_frame, fm_has_obs=fm.has_obs,
+            fm_has_right=fm.has_right, fm_pt=fm.pt,
+            fm_pt_right=fm.pt_right, fm_vel=fm.vel,
+            fm_vel_right=fm.vel_right, fm_inv_depth=fm.inv_depth,
+            fm_depth_valid=fm.depth_valid,
+            imu_acc=self.imu_acc, imu_gyr=self.imu_gyr,
+            imu_dt=self.imu_dt, imu_n=self.imu_n,
+            timestamps=self.timestamps,
+            meta=np.array([self.frame_count, int(self.initialized),
+                           int(self.failed), int(self._pose_preset)]))
+
+    def load_checkpoint(self, path: str):
+        """Restore a snapshot created by save_checkpoint."""
+        z = np.load(path, allow_pickle=False)
+        self.state = layout.WindowState(
+            **{k: np.array(z[f"st_{k}"])
+               for k in layout.WindowState._fields})
+        self.prior = prior_factor.MarginalPrior(
+            lin_state=layout.WindowState(
+                **{k: jnp.asarray(z[f"prior_ls_{k}"])
+                   for k in layout.WindowState._fields}),
+            jacobian=jnp.asarray(z["prior_jacobian"]),
+            residual=jnp.asarray(z["prior_residual"]),
+            valid=jnp.asarray(z["prior_valid"]))
+        fm = self.fm
+        fm.active = np.array(z["fm_active"])
+        fm.feature_id = np.array(z["fm_feature_id"])
+        fm.start_frame = np.array(z["fm_start_frame"])
+        fm.has_obs = np.array(z["fm_has_obs"])
+        fm.has_right = np.array(z["fm_has_right"])
+        fm.pt = np.array(z["fm_pt"])
+        fm.pt_right = np.array(z["fm_pt_right"])
+        fm.vel = np.array(z["fm_vel"])
+        fm.vel_right = np.array(z["fm_vel_right"])
+        fm.inv_depth = np.array(z["fm_inv_depth"])
+        fm.depth_valid = np.array(z["fm_depth_valid"])
+        fm._id_to_slot = {int(f): int(s) for s, f in
+                          enumerate(fm.feature_id) if f >= 0}
+        self.imu_acc = np.array(z["imu_acc"])
+        self.imu_gyr = np.array(z["imu_gyr"])
+        self.imu_dt = np.array(z["imu_dt"])
+        self.imu_n = np.array(z["imu_n"])
+        self.timestamps = np.array(z["timestamps"])
+        meta = z["meta"]
+        self.frame_count = int(meta[0])
+        self.initialized = bool(meta[1])
+        self.failed = bool(meta[2])
+        self._pose_preset = bool(meta[3])
+        n_fields = len(pre.Preintegration._fields)
+        self._pres = pre.Preintegration(
+            *(jnp.asarray(z[f"pres_{i}"]) for i in range(n_fields)))
+
     def reset(self):
         """ClearState + reboot (reference estimator.cpp:1641-1648)."""
         cfg = self.cfg
