@@ -286,6 +286,115 @@ class Estimator:
 
         self._propagate_edge = propagate_edge
 
+        max_depth = self.cfg.max_depth
+
+        @jax.jit
+        def prepare_frame(state, pres, e, acc, gyr, dts, mask, k,
+                          pnp_pw, pnp_pn, pnp_valid):
+            """One-dispatch frame prep: refresh IMU edge e, propagate
+            pose/vel into slot k, PnP-refine slot k."""
+            one = pre.preintegrate(acc, gyr, dts, state.ba[e],
+                                   state.bg[e], noise=noise,
+                                   valid_mask=mask)
+            pres2 = jax.tree.map(lambda f, o: f.at[e].set(o), pres, one)
+
+            def step(carry, inp):
+                pc, qc, vc = carry
+                a0, g0, a1, g1, dt, m = inp
+                p2, q2, v2 = pre.propagate_state(
+                    pc, qc, vc, state.ba[k - 1], state.bg[k - 1],
+                    a0, g0, a1, g1, dt)
+                keep = lambda n_, o_: jnp.where(m, n_, o_)
+                return (keep(p2, pc), keep(q2, qc), keep(v2, vc)), None
+
+            (pk, qk, vk), _ = jax.lax.scan(
+                step, (state.p[k - 1], state.q[k - 1], state.v[k - 1]),
+                (acc[:-1], gyr[:-1], acc[1:], gyr[1:], dts, mask))
+            st = state._replace(
+                p=state.p.at[k].set(pk), q=state.q.at[k].set(qk),
+                v=state.v.at[k].set(vk),
+                ba=state.ba.at[k].set(state.ba[k - 1]),
+                bg=state.bg.at[k].set(state.bg[k - 1]))
+
+            # PnP refine (InitFramePoseByPnP)
+            p_wc, q_wc = lie.pose_compose(st.p[k], st.q[k],
+                                          st.p_bc[0], st.q_bc[0])
+            p_cw0, q_cw0 = lie.pose_inverse(p_wc, q_wc)
+            p_cw, q_cw, err = triangulation.pnp_gauss_newton(
+                pnp_pw, pnp_pn, pnp_valid, p_cw0, q_cw0)
+            ok = (jnp.sum(pnp_valid) >= 6) & jnp.isfinite(err) \
+                & (err < 0.05)
+            p_wc2, q_wc2 = lie.pose_inverse(p_cw, q_cw)
+            p_cb, q_cb = lie.pose_inverse(st.p_bc[0], st.q_bc[0])
+            p_wb, q_wb = lie.pose_compose(p_wc2, q_wc2, p_cb, q_cb)
+            st = st._replace(
+                p=st.p.at[k].set(jnp.where(ok, p_wb, st.p[k])),
+                q=st.q.at[k].set(jnp.where(ok, q_wb, st.q[k])))
+            return pres2, st, err
+
+        self._prepare_frame = prepare_frame
+
+        @jax.jit
+        def triangulate_slots(state, anchors, ptl, ptr, stereo_ok,
+                              ptc, two_ok, k):
+            """Per-slot anchored triangulation for ALL landmark slots
+            in one dispatch (stereo at anchor, else anchor->k)."""
+            def one(a, l, r, s_ok, c, t_ok):
+                p_wc0, q_wc0 = lie.pose_compose(
+                    state.p[a], state.q[a], state.p_bc[0],
+                    state.q_bc[0])
+                p_wc1, q_wc1 = lie.pose_compose(
+                    state.p[a], state.q[a], state.p_bc[1],
+                    state.q_bc[1])
+                p_cw0, q_cw0 = lie.pose_inverse(p_wc0, q_wc0)
+                p_cw1, q_cw1 = lie.pose_inverse(p_wc1, q_wc1)
+                _, d_st = triangulation.triangulate_dlt(
+                    p_cw0, q_cw0, p_cw1, q_cw1, l, r)
+                p_wck, q_wck = lie.pose_compose(
+                    state.p[k], state.q[k], state.p_bc[0],
+                    state.q_bc[0])
+                p_cwk, q_cwk = lie.pose_inverse(p_wck, q_wck)
+                _, d_tw = triangulation.triangulate_dlt(
+                    p_cw0, q_cw0, p_cwk, q_cwk, l, c)
+                d = jnp.where(s_ok, d_st, d_tw)
+                ok = (s_ok | t_ok) & (d > 0.1) & (d < max_depth) \
+                    & jnp.isfinite(d)
+                return d, ok
+
+            return jax.vmap(one)(anchors, ptl, ptr, stereo_ok, ptc,
+                                 two_ok)
+
+        self._triangulate_slots = triangulate_slots
+
+        @jax.jit
+        def solve_score(state, inv_depth, problem):
+            """BA solve + per-landmark outlier scores in one dispatch."""
+            from dynamic_vins_tpu.factors import projection
+
+            st, dep, info = gn.solve(state, inv_depth, problem, scfg)
+            r = projection.residual_only(st, dep, problem.obs,
+                                         sqrt_info=1.0)
+            err = jnp.linalg.norm(r, axis=-1)
+            L = dep.shape[0]
+            w = problem.obs.valid.astype(err.dtype)
+            ssum = jax.ops.segment_sum(err * w, problem.obs.lm,
+                                       num_segments=L)
+            n = jax.ops.segment_sum(w, problem.obs.lm, num_segments=L)
+            return st, dep, info, ssum / jnp.maximum(n, 1.0)
+
+        self._solve_score = solve_score
+
+        @jax.jit
+        def marg_old_shifted(state, inv_depth, problem, drop_lm):
+            """Marginalize frame 0 AND apply the slide column shift in
+            one dispatch (the prior comes back ready for the slid
+            window)."""
+            prior = marg.marginalize_old(state, inv_depth, problem,
+                                         drop_lm, scfg)
+            return marg.shift_prior_after_slide_old(prior, state)
+
+        self._marg_old_shifted = marg_old_shifted
+
     # ------------------------------------------------------------------
     # IMU ingestion
     # ------------------------------------------------------------------
@@ -355,7 +464,6 @@ class Estimator:
         if imu_interval is not None and cfg.use_imu and k > 0:
             acc, gyr, dts = imu_interval
             self.add_imu_interval(acc, gyr, dts)
-            self._refresh_edge(min(k - 1, F - 2))
 
         self.timestamps[k] = frame.timestamp
         is_keyframe = self.fm.add_features(k, frame.features)
@@ -371,7 +479,7 @@ class Estimator:
                 q0 = np.asarray(lie.matrix_to_quat(jnp.asarray(R0)))
                 self.state.q[0] = q0
         else:
-            self._predict_new_frame(k)
+            self._prepare(k)
 
         # triangulate what we can at this frame
         self._triangulate_new(k)
@@ -436,6 +544,34 @@ class Estimator:
     def get_instance_states(self):
         """Snapshot of per-object states (GetOutputInstInfo parity)."""
         return {} if self.im is None else self.im.output()
+
+    def _prepare(self, k):
+        """One-dispatch frame prep: edge preintegration refresh + IMU
+        propagation into slot k + PnP refinement (replaces
+        _predict_new_frame + _refresh_edge on the hot path)."""
+        cfg = self.cfg
+        fm = self.fm
+        e = min(k - 1, cfg.num_frames - 2)
+        C = cfg.imu_per_edge
+        mask = jnp.asarray(np.arange(C) < self.imu_n[e])
+        cap = cfg.lm_capacity
+        pw = np.zeros((cap, 3))
+        pn = np.zeros((cap, 3))
+        valid = np.zeros(cap, bool)
+        msel = fm.active & fm.depth_valid & fm.has_obs[:, k] & \
+            (fm.start_frame < k)
+        slots = np.flatnonzero(msel)
+        if slots.size >= 6:
+            pw[:slots.size] = self._landmark_world_positions(slots)
+            pn[:slots.size] = fm.pt[slots, k]
+            valid[:slots.size] = True
+        pres2, st, err = self._prepare_frame(
+            self._dev(self.state), self._pres, e,
+            jnp.array(self.imu_acc[e]), jnp.array(self.imu_gyr[e]),
+            jnp.array(self.imu_dt[e]), mask, k,
+            jnp.asarray(pw), jnp.asarray(pn), jnp.asarray(valid))
+        self._pres = pres2
+        self.state = jax.tree.map(lambda a: np.array(a), st)
 
     def _predict_new_frame(self, k):
         """Initial guess for frame k: IMU propagation, else PnP, else
@@ -512,57 +648,39 @@ class Estimator:
         return lie_np.pose_transform_point(p_wc, q_wc, pts)
 
     def _triangulate_new(self, k):
-        """Assign depths to landmarks without one (stereo first, then
-        two-frame), mirroring FeatureManager::TriangulatePoints."""
+        """Assign depths to landmarks without one — stereo at the anchor
+        frame, else anchor->current two-frame — ALL slots in one
+        dispatch (FeatureManager::TriangulatePoints parity)."""
         cfg = self.cfg
         fm = self.fm
-        st = self.state
-        # stereo triangulation at the anchor frame
-        if cfg.stereo:
-            mask = (fm.active & ~fm.depth_valid
-                    & (fm.start_frame <= k))
-            slots = np.flatnonzero(mask)
-            tri = [s for s in slots
-                   if fm.has_right[s, fm.start_frame[s]]]
-            if tri:
-                tri = np.asarray(tri)
-                a = fm.start_frame[tri]
-                # group by anchor frame (usually few distinct)
-                for f in np.unique(a):
-                    sel = tri[a == f]
-                    cap = cfg.lm_capacity
-                    n = sel.size
-                    ptl = np.zeros((cap, 3)); ptl[:n] = fm.pt[sel, f]
-                    ptr = np.zeros((cap, 3)); ptr[:n] = fm.pt_right[sel, f]
-                    d = np.asarray(self._triangulate_stereo(
-                        jnp.array(st.p[f]), jnp.array(st.q[f]),
-                        jnp.array(st.p_bc), jnp.array(st.q_bc),
-                        jnp.asarray(ptl, cfg.dtype),
-                        jnp.asarray(ptr, cfg.dtype)))[:n]
-                    ok = (d > 0.1) & (d < cfg.max_depth) & np.isfinite(d)
-                    fm.inv_depth[sel[ok]] = 1.0 / d[ok]
-                    fm.depth_valid[sel[ok]] = True
-        # two-frame triangulation for the rest (needs parallax)
-        mask = fm.active & ~fm.depth_valid & (fm.start_frame < k) \
-            & fm.has_obs[:, k]
-        slots = np.flatnonzero(mask)
-        if slots.size and self.initialized:
-            a = fm.start_frame[slots]
-            for f in np.unique(a):
-                sel = slots[a == f]
-                cap = cfg.lm_capacity
-                n = sel.size
-                pti = np.zeros((cap, 3)); pti[:n] = fm.pt[sel, f]
-                ptj = np.zeros((cap, 3)); ptj[:n] = fm.pt[sel, k]
-                d = np.asarray(self._triangulate_two_frame(
-                    jnp.array(st.p[f]), jnp.array(st.q[f]),
-                    jnp.array(st.p[k]), jnp.array(st.q[k]),
-                    jnp.array(st.p_bc[0]), jnp.array(st.q_bc[0]),
-                    jnp.asarray(pti, cfg.dtype),
-                    jnp.asarray(ptj, cfg.dtype)))[:n]
-                ok = (d > 0.1) & (d < cfg.max_depth) & np.isfinite(d)
-                fm.inv_depth[sel[ok]] = 1.0 / d[ok]
-                fm.depth_valid[sel[ok]] = True
+        cap = cfg.lm_capacity
+        need = fm.active & ~fm.depth_valid & (fm.start_frame <= k)
+        anchors = fm.start_frame.astype(np.int32).copy()
+        stereo_ok = np.zeros(cap, bool)
+        two_ok = np.zeros(cap, bool)
+        ptl = np.zeros((cap, 3)); ptl[:, 2] = 1.0
+        ptr = np.zeros((cap, 3)); ptr[:, 2] = 1.0
+        ptc = np.zeros((cap, 3)); ptc[:, 2] = 1.0
+        for sl in np.flatnonzero(need):
+            a = int(fm.start_frame[sl])
+            if cfg.stereo and fm.has_right[sl, a]:
+                stereo_ok[sl] = True
+                ptl[sl] = fm.pt[sl, a]
+                ptr[sl] = fm.pt_right[sl, a]
+            elif self.initialized and a < k and fm.has_obs[sl, k]:
+                two_ok[sl] = True
+                ptl[sl] = fm.pt[sl, a]
+                ptc[sl] = fm.pt[sl, k]
+        if not (stereo_ok.any() or two_ok.any()):
+            return
+        d, ok = self._triangulate_slots(
+            self._dev(self.state), jnp.asarray(anchors),
+            jnp.asarray(ptl), jnp.asarray(ptr), jnp.asarray(stereo_ok),
+            jnp.asarray(ptc), jnp.asarray(two_ok), k)
+        d = np.asarray(d)
+        ok = np.asarray(ok) & (stereo_ok | two_ok)
+        fm.inv_depth[ok] = 1.0 / d[ok]
+        fm.depth_valid[ok] = True
 
     # ------------------------------------------------------------------
     def _initialize(self):
@@ -627,8 +745,10 @@ class Estimator:
             st, dep, orth, info = self._solve_lines(
                 self._dev(self.state), inv_depth, problem, orth0)
         else:
-            st, dep, info = self._solve(self._dev(self.state),
-                                        inv_depth, problem)
+            st, dep, info, scores = self._solve_score(
+                self._dev(self.state), inv_depth, problem)
+            self._outlier_scores_cache = (np.asarray(scores),
+                                          problem.lm_valid)
         if not np.isfinite(float(info.final_cost)):
             self.failed = True
             return
@@ -643,14 +763,12 @@ class Estimator:
         self._last_problem = problem
 
     def _reject_outliers(self):
-        if not hasattr(self, "_last_problem"):
+        cache = getattr(self, "_outlier_scores_cache", None)
+        if cache is None:
             return
-        obs, lm_valid = self.fm.build_obs_table(self.cfg.dtype)
-        inv_depth = jnp.array(self.fm.inv_depth)
-        scores, counts = self._outlier_scores(self._dev(self.state),
-                                              inv_depth, obs)
-        bad = (np.asarray(scores) > self.cfg.outlier_thresh) \
-            & np.asarray(lm_valid)
+        scores, lm_valid = cache
+        self._outlier_scores_cache = None
+        bad = (scores > self.cfg.outlier_thresh) & np.asarray(lm_valid)
         if bad.any():
             self.fm.remove_outliers(bad)
 
@@ -672,11 +790,11 @@ class Estimator:
             problem = self._build_problem()
             drop_lm = self.fm.anchored_at_mask(0)
             inv_depth = jnp.array(self.fm.inv_depth)
-            prior = self._marg_old(self._dev(self.state), inv_depth,
-                                   problem, drop_lm)
+            shifted = self._marg_old_shifted(self._dev(self.state),
+                                             inv_depth, problem,
+                                             drop_lm)
             self._slide(True)
-            self.prior = marg.shift_prior_after_slide_old(prior,
-                                                          self.state)
+            self.prior = shifted
         else:
             if bool(self.prior.valid):
                 prior = self._marg_second(self.prior)
