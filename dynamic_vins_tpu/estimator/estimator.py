@@ -684,8 +684,14 @@ class Estimator:
 
     # ------------------------------------------------------------------
     def _initialize(self):
-        """Stereo(+IMU) initialization (estimator.cpp:1464-1496)."""
+        """Initialization dispatch: stereo(+IMU) (estimator.cpp:1464)
+        or monocular SfM + visual-inertial alignment (estimator.cpp:854
+        InitialStructure)."""
         cfg = self.cfg
+        if not cfg.stereo and cfg.use_imu:
+            if self._initialize_mono():
+                self.initialized = True
+            return
         if cfg.use_imu:
             # gyro bias from visual rotations vs preintegrated rotations
             pres = self._pres
@@ -707,6 +713,100 @@ class Estimator:
             # re-linearize every edge at the solved gyro bias
             self._pres = self._preintegrate_all()
         self.initialized = True
+
+    def _initialize_mono(self) -> bool:
+        """Monocular SfM + gyro-bias + gravity/velocity/scale alignment
+        (InitialStructure + VisualIMUAlignment parity)."""
+        from dynamic_vins_tpu.estimator import initializer as ini
+        from dynamic_vins_tpu.geometry import lie_np
+
+        cfg = self.cfg
+        F = cfg.num_frames
+        fm = self.fm
+
+        # observation dict {fid: {frame: uv}}
+        obs = {}
+        for sl in np.flatnonzero(fm.active):
+            fid = int(fm.feature_id[sl])
+            for f in np.flatnonzero(fm.has_obs[sl]):
+                obs.setdefault(fid, {})[int(f)] = fm.pt[sl, f, :2]
+
+        # reference frame: earliest frame with enough parallax vs newest
+        ref = None
+        rel = None
+        for l in range(F - 1):
+            pts_i = [fo[l] for fo in obs.values()
+                     if l in fo and F - 1 in fo]
+            pts_j = [fo[F - 1] for fo in obs.values()
+                     if l in fo and F - 1 in fo]
+            if len(pts_i) < 20:
+                continue
+            par = np.mean(np.linalg.norm(
+                np.asarray(pts_i) - np.asarray(pts_j), axis=-1))
+            if par < 30.0 / 460.0:
+                continue
+            rel = ini.solve_relative_pose(pts_i, pts_j)
+            if rel is not None:
+                ref = l
+                break
+        if rel is None:
+            return False
+        R_rel, t_rel, _ = rel
+        ok, R_sfm, p_sfm, points = ini.sfm_construct(F, obs, ref,
+                                                     R_rel, t_rel)
+        if not ok:
+            return False
+
+        # gyro bias from SfM rotations (camera frame -> body frame)
+        R_bc = lie_np.quat_to_matrix(self.state.q_bc[0])
+        p_bc = np.asarray(self.state.p_bc[0])
+        R_c0b = [np.asarray(R_sfm[k]) @ R_bc.T for k in range(F)]
+        from dynamic_vins_tpu.geometry import lie as lie_j
+
+        q_rel_body = []
+        for k in range(F - 1):
+            R_ij = R_c0b[k].T @ R_c0b[k + 1]
+            q_rel_body.append(np.asarray(lie_j.matrix_to_quat(
+                jnp.asarray(R_ij))))
+        pres = self._pres
+        dbg = triangulation.solve_gyro_bias(
+            pres.dq_dbg[:F - 1], pres.delta_q[:F - 1],
+            jnp.asarray(np.stack(q_rel_body)))
+        dbg = np.asarray(jnp.where(jnp.isfinite(dbg), dbg, 0.0))
+        self.state.bg[:] = self.state.bg + dbg[None, :]
+        self._pres = self._preintegrate_all()
+        pres = jax.tree.map(np.asarray, self._pres)
+
+        # linear alignment: velocities, gravity (c0 frame), scale
+        pres_list = [dict(delta_p=pres.delta_p[k],
+                          delta_v=pres.delta_v[k])
+                     for k in range(F - 1)]
+        dt_edges = [float(pres.sum_dt[k]) for k in range(F - 1)]
+        ok2, v_body, g_c0, s = ini.solve_gravity_velocity_scale(
+            pres_list, R_c0b, [np.asarray(p) for p in p_sfm], p_bc,
+            dt_edges)
+        if not ok2:
+            return False
+        v_body, g_c0, s = ini.refine_gravity(
+            pres_list, R_c0b, [np.asarray(p) for p in p_sfm], p_bc,
+            dt_edges, g_c0)
+
+        # world frame: gravity-aligned, yaw-free, origin at body 0
+        R_w_c0 = np.asarray(lie_j.g2R(jnp.asarray(g_c0)))
+        p_b_c0 = [s * np.asarray(p_sfm[k]) - R_c0b[k] @ p_bc
+                  for k in range(F)]
+        p0 = p_b_c0[0]
+        for k in range(F):
+            self.state.p[k] = R_w_c0 @ (p_b_c0[k] - p0)
+            R_wb = R_w_c0 @ R_c0b[k]
+            self.state.q[k] = np.asarray(lie_j.matrix_to_quat(
+                jnp.asarray(R_wb)))
+            self.state.v[k] = R_wb @ v_body[k]
+
+        # depths: re-triangulate against the metric poses
+        fm.depth_valid[:] = False
+        self._triangulate_new(F - 1)
+        return True
 
     # ------------------------------------------------------------------
     def _build_problem(self):
