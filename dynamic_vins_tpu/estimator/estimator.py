@@ -287,12 +287,22 @@ class Estimator:
         self._propagate_edge = propagate_edge
 
         max_depth = self.cfg.max_depth
+        F = self.cfg.num_frames
+        unpack = lambda flat: layout.WindowState.unpack(flat, F)
+        fixed_np = np.zeros(layout.cam_dim(F), bool)
+        if not self.cfg.estimate_extrinsic:
+            fixed_np[layout.extrinsic_col(0, F):layout.td_col(F)] = True
+        if not self.cfg.estimate_td:
+            fixed_np[layout.td_col(F)] = True
+        fixed_const = jnp.asarray(fixed_np)
 
         @jax.jit
-        def prepare_frame(state, pres, e, acc, gyr, dts, mask, k,
-                          pnp_pw, pnp_pn, pnp_valid):
+        def prepare_frame(flat, pres, e, acc, gyr, dts, mask, k,
+                          pnp_pack):
             """One-dispatch frame prep: refresh IMU edge e, propagate
-            pose/vel into slot k, PnP-refine slot k."""
+            pose/vel into slot k, PnP-refine slot k. All state I/O rides
+            ONE packed array."""
+            state = unpack(flat)
             one = pre.preintegrate(acc, gyr, dts, state.ba[e],
                                    state.bg[e], noise=noise,
                                    valid_mask=mask)
@@ -316,7 +326,11 @@ class Estimator:
                 ba=state.ba.at[k].set(state.ba[k - 1]),
                 bg=state.bg.at[k].set(state.bg[k - 1]))
 
-            # PnP refine (InitFramePoseByPnP)
+            pnp_pw = pnp_pack[:, 0:3]
+            pnp_pn = jnp.concatenate(
+                [pnp_pack[:, 3:5],
+                 jnp.ones((pnp_pack.shape[0], 1), flat.dtype)], axis=1)
+            pnp_valid = pnp_pack[:, 5] > 0.5
             p_wc, q_wc = lie.pose_compose(st.p[k], st.q[k],
                                           st.p_bc[0], st.q_bc[0])
             p_cw0, q_cw0 = lie.pose_inverse(p_wc, q_wc)
@@ -330,16 +344,22 @@ class Estimator:
             st = st._replace(
                 p=st.p.at[k].set(jnp.where(ok, p_wb, st.p[k])),
                 q=st.q.at[k].set(jnp.where(ok, q_wb, st.q[k])))
-            return pres2, st, err
+            return pres2, st.pack(), err
 
         self._prepare_frame = prepare_frame
 
         @jax.jit
-        def triangulate_slots(state, anchors, ptl, ptr, stereo_ok,
-                              ptc, two_ok, k):
-            """Per-slot anchored triangulation for ALL landmark slots
-            in one dispatch (stereo at anchor, else anchor->k)."""
-            def one(a, l, r, s_ok, c, t_ok):
+        def triangulate_slots(flat, anchors, tri_f, stereo_ok, two_ok,
+                              k):
+            """Per-slot anchored triangulation, packed inputs:
+            tri_f [L,6] = (ptl xy, ptr xy, ptc xy)."""
+            state = unpack(flat)
+            one_col = jnp.ones((1,), flat.dtype)
+
+            def one(a, f6, s_ok, t_ok):
+                l = jnp.concatenate([f6[0:2], one_col])
+                r = jnp.concatenate([f6[2:4], one_col])
+                c = jnp.concatenate([f6[4:6], one_col])
                 p_wc0, q_wc0 = lie.pose_compose(
                     state.p[a], state.q[a], state.p_bc[0],
                     state.q_bc[0])
@@ -361,16 +381,38 @@ class Estimator:
                     & jnp.isfinite(d)
                 return d, ok
 
-            return jax.vmap(one)(anchors, ptl, ptr, stereo_ok, ptc,
-                                 two_ok)
+            return jax.vmap(one)(anchors, tri_f, stereo_ok, two_ok)
 
         self._triangulate_slots = triangulate_slots
 
-        @jax.jit
-        def solve_score(state, inv_depth, problem):
-            """BA solve + per-landmark outlier scores in one dispatch."""
+        pose0_mask_np = np.zeros(layout.cam_dim(F), bool)
+        pose0_mask_np[layout.pose_col(0):layout.pose_col(0) + 6] = True
+        pose0_mask = jnp.asarray(pose0_mask_np)
+        use_imu_static = self.cfg.use_imu
+
+        def _mk_problem(obs_i, obs_f, obs_valid, pres, imu_valid,
+                        prior, lm_valid):
             from dynamic_vins_tpu.factors import projection
 
+            obs = projection.unpack_obs(obs_i, obs_f, obs_valid)
+            fixed = fixed_const
+            if not use_imu_static:
+                # visual-only: anchor the gauge on pose 0 until the
+                # marginalization prior takes over
+                fixed = fixed | (pose0_mask & ~prior.valid)
+            return gn.BAProblem(obs=obs, pres=pres,
+                                imu_valid=imu_valid, prior=prior,
+                                lm_valid=lm_valid, fixed_cols=fixed)
+
+        @jax.jit
+        def solve_score(flat, inv_depth, obs_i, obs_f, obs_valid, pres,
+                        imu_valid, prior, lm_valid):
+            """BA solve + per-landmark outlier scores, packed I/O."""
+            from dynamic_vins_tpu.factors import projection
+
+            state = unpack(flat)
+            problem = _mk_problem(obs_i, obs_f, obs_valid, pres,
+                                  imu_valid, prior, lm_valid)
             st, dep, info = gn.solve(state, inv_depth, problem, scfg)
             r = projection.residual_only(st, dep, problem.obs,
                                          sqrt_info=1.0)
@@ -380,18 +422,42 @@ class Estimator:
             ssum = jax.ops.segment_sum(err * w, problem.obs.lm,
                                        num_segments=L)
             n = jax.ops.segment_sum(w, problem.obs.lm, num_segments=L)
-            return st, dep, info, ssum / jnp.maximum(n, 1.0)
+            return (st.pack(), dep, info.final_cost,
+                    ssum / jnp.maximum(n, 1.0))
 
         self._solve_score = solve_score
 
         @jax.jit
-        def marg_old_shifted(state, inv_depth, problem, drop_lm):
-            """Marginalize frame 0 AND apply the slide column shift in
-            one dispatch (the prior comes back ready for the slid
-            window)."""
-            prior = marg.marginalize_old(state, inv_depth, problem,
-                                         drop_lm, scfg)
-            return marg.shift_prior_after_slide_old(prior, state)
+        def marg_old_shifted(flat, inv_depth, obs_i, obs_f, obs_valid,
+                             pres, imu_valid, prior, lm_valid, drop_lm,
+                             pt0):
+            """Marginalize frame 0, shift the prior for the slide, AND
+            re-anchor dropped-landmark depths to frame 1 — one dispatch.
+
+            pt0: [L,3] anchor-frame-0 normalized observations."""
+            state = unpack(flat)
+            problem = _mk_problem(obs_i, obs_f, obs_valid, pres,
+                                  imu_valid, prior, lm_valid)
+            new_prior = marg.marginalize_old(state, inv_depth, problem,
+                                             drop_lm, scfg)
+            shifted = marg.shift_prior_after_slide_old(new_prior, state)
+
+            # RemoveBackShiftDepth: depth re-anchoring frame0 -> frame1
+            pts_c0 = pt0 / jnp.maximum(inv_depth, 1e-6)[:, None]
+            p_wc0, q_wc0 = lie.pose_compose(
+                state.p[0], state.q[0], state.p_bc[0], state.q_bc[0])
+            pw = lie.pose_transform_point(p_wc0[None, :],
+                                          q_wc0[None, :], pts_c0)
+            p_wc1, q_wc1 = lie.pose_compose(
+                state.p[1], state.q[1], state.p_bc[0], state.q_bc[0])
+            p_cw1, q_cw1 = lie.pose_inverse(p_wc1, q_wc1)
+            pc1 = lie.pose_transform_point(p_cw1[None, :],
+                                           q_cw1[None, :], pw)
+            d1 = pc1[:, 2]
+            re_ok = (d1 > 1e-3) & jnp.isfinite(d1)
+            new_inv = jnp.where(re_ok, 1.0 / jnp.maximum(d1, 1e-3),
+                                inv_depth)
+            return shifted, new_inv, re_ok
 
         self._marg_old_shifted = marg_old_shifted
 
@@ -546,32 +612,29 @@ class Estimator:
         return {} if self.im is None else self.im.output()
 
     def _prepare(self, k):
-        """One-dispatch frame prep: edge preintegration refresh + IMU
-        propagation into slot k + PnP refinement (replaces
-        _predict_new_frame + _refresh_edge on the hot path)."""
+        """One-dispatch frame prep (packed state transfer)."""
         cfg = self.cfg
         fm = self.fm
         e = min(k - 1, cfg.num_frames - 2)
         C = cfg.imu_per_edge
         mask = jnp.asarray(np.arange(C) < self.imu_n[e])
         cap = cfg.lm_capacity
-        pw = np.zeros((cap, 3))
-        pn = np.zeros((cap, 3))
-        valid = np.zeros(cap, bool)
+        pnp_pack = np.zeros((cap, 6))
         msel = fm.active & fm.depth_valid & fm.has_obs[:, k] & \
             (fm.start_frame < k)
         slots = np.flatnonzero(msel)
         if slots.size >= 6:
-            pw[:slots.size] = self._landmark_world_positions(slots)
-            pn[:slots.size] = fm.pt[slots, k]
-            valid[:slots.size] = True
-        pres2, st, err = self._prepare_frame(
-            self._dev(self.state), self._pres, e,
+            pnp_pack[:slots.size, 0:3] = \
+                self._landmark_world_positions(slots)
+            pnp_pack[:slots.size, 3:5] = fm.pt[slots, k, :2]
+            pnp_pack[:slots.size, 5] = 1.0
+        pres2, flat, err = self._prepare_frame(
+            jnp.array(self.state.pack()), self._pres, e,
             jnp.array(self.imu_acc[e]), jnp.array(self.imu_gyr[e]),
-            jnp.array(self.imu_dt[e]), mask, k,
-            jnp.asarray(pw), jnp.asarray(pn), jnp.asarray(valid))
+            jnp.array(self.imu_dt[e]), mask, k, jnp.asarray(pnp_pack))
         self._pres = pres2
-        self.state = jax.tree.map(lambda a: np.array(a), st)
+        self.state = layout.WindowState.unpack(
+            np.array(flat), cfg.num_frames)
 
     def _predict_new_frame(self, k):
         """Initial guess for frame k: IMU propagation, else PnP, else
@@ -648,35 +711,32 @@ class Estimator:
         return lie_np.pose_transform_point(p_wc, q_wc, pts)
 
     def _triangulate_new(self, k):
-        """Assign depths to landmarks without one — stereo at the anchor
-        frame, else anchor->current two-frame — ALL slots in one
-        dispatch (FeatureManager::TriangulatePoints parity)."""
+        """Assign depths to landmarks without one (stereo at anchor,
+        else anchor->current), all slots in one dispatch."""
         cfg = self.cfg
         fm = self.fm
         cap = cfg.lm_capacity
         need = fm.active & ~fm.depth_valid & (fm.start_frame <= k)
-        anchors = fm.start_frame.astype(np.int32).copy()
+        anchors = fm.start_frame.astype(np.int32)
         stereo_ok = np.zeros(cap, bool)
         two_ok = np.zeros(cap, bool)
-        ptl = np.zeros((cap, 3)); ptl[:, 2] = 1.0
-        ptr = np.zeros((cap, 3)); ptr[:, 2] = 1.0
-        ptc = np.zeros((cap, 3)); ptc[:, 2] = 1.0
+        tri_f = np.zeros((cap, 6))
         for sl in np.flatnonzero(need):
             a = int(fm.start_frame[sl])
             if cfg.stereo and fm.has_right[sl, a]:
                 stereo_ok[sl] = True
-                ptl[sl] = fm.pt[sl, a]
-                ptr[sl] = fm.pt_right[sl, a]
+                tri_f[sl, 0:2] = fm.pt[sl, a, :2]
+                tri_f[sl, 2:4] = fm.pt_right[sl, a, :2]
             elif self.initialized and a < k and fm.has_obs[sl, k]:
                 two_ok[sl] = True
-                ptl[sl] = fm.pt[sl, a]
-                ptc[sl] = fm.pt[sl, k]
+                tri_f[sl, 0:2] = fm.pt[sl, a, :2]
+                tri_f[sl, 4:6] = fm.pt[sl, k, :2]
         if not (stereo_ok.any() or two_ok.any()):
             return
         d, ok = self._triangulate_slots(
-            self._dev(self.state), jnp.asarray(anchors),
-            jnp.asarray(ptl), jnp.asarray(ptr), jnp.asarray(stereo_ok),
-            jnp.asarray(ptc), jnp.asarray(two_ok), k)
+            jnp.array(self.state.pack()), jnp.asarray(anchors),
+            jnp.asarray(tri_f), jnp.asarray(stereo_ok),
+            jnp.asarray(two_ok), k)
         d = np.asarray(d)
         ok = np.asarray(ok) & (stereo_ok | two_ok)
         fm.inv_depth[ok] = 1.0 / d[ok]
@@ -830,12 +890,17 @@ class Estimator:
             obs=obs, pres=pres, imu_valid=imu_valid, prior=self.prior,
             lm_valid=lm_valid, fixed_cols=jnp.asarray(fixed))
 
+    def _imu_valid_dev(self):
+        E = self.cfg.num_frames - 1
+        return jnp.asarray((self.imu_n > 0) & self.cfg.use_imu
+                           & (np.arange(E) < self.frame_count))
+
     def _optimize(self):
-        problem = self._build_problem()
-        inv_depth = jnp.array(self.fm.inv_depth)
         use_lines = (self.lines is not None
                      and bool((self.lines.active
                                & self.lines.orth_valid).any()))
+        problem = self._build_problem() if use_lines else None
+        inv_depth = jnp.array(self.fm.inv_depth)
         if use_lines:
             line_obs, line_valid = self.lines.build_obs_table(
                 self.cfg.dtype)
@@ -845,10 +910,23 @@ class Estimator:
             st, dep, orth, info = self._solve_lines(
                 self._dev(self.state), inv_depth, problem, orth0)
         else:
-            st, dep, info, scores = self._solve_score(
-                self._dev(self.state), inv_depth, problem)
+            oi, of, ov, lm_valid_np = self.fm.build_obs_packed()
+            flat, dep, cost, scores = self._solve_score(
+                jnp.array(self.state.pack()),
+                jnp.array(self.fm.inv_depth),
+                jnp.asarray(oi), jnp.asarray(of), jnp.asarray(ov),
+                self._pres, self._imu_valid_dev(), self.prior,
+                jnp.asarray(lm_valid_np))
             self._outlier_scores_cache = (np.asarray(scores),
-                                          problem.lm_valid)
+                                          lm_valid_np)
+            if not np.isfinite(float(cost)):
+                self.failed = True
+                return
+            self.state = layout.WindowState.unpack(
+                np.array(flat), self.cfg.num_frames)
+            self.fm.set_depths(np.asarray(dep))
+            self._last_problem = True
+            return
         if not np.isfinite(float(info.final_cost)):
             self.failed = True
             return
@@ -887,12 +965,22 @@ class Estimator:
     def _marginalize_and_slide(self, is_keyframe: bool):
         cfg = self.cfg
         if is_keyframe:
-            problem = self._build_problem()
-            drop_lm = self.fm.anchored_at_mask(0)
-            inv_depth = jnp.array(self.fm.inv_depth)
-            shifted = self._marg_old_shifted(self._dev(self.state),
-                                             inv_depth, problem,
-                                             drop_lm)
+            fm = self.fm
+            oi, of, ov, lm_valid_np = fm.build_obs_packed()
+            drop_lm_np = fm.active & (fm.start_frame == 0) \
+                & fm.depth_valid
+            pt0 = np.array(fm.pt[:, 0])
+            shifted, new_inv, re_ok = self._marg_old_shifted(
+                jnp.array(self.state.pack()),
+                jnp.array(fm.inv_depth), jnp.asarray(oi),
+                jnp.asarray(of), jnp.asarray(ov), self._pres,
+                self._imu_valid_dev(), self.prior,
+                jnp.asarray(lm_valid_np), jnp.asarray(drop_lm_np),
+                jnp.asarray(pt0))
+            # write back re-anchored depths for dropped landmarks
+            new_inv = np.asarray(new_inv)
+            re_ok = np.asarray(re_ok)
+            self._reanchored = (drop_lm_np, new_inv, re_ok)
             self._slide(True)
             self.prior = shifted
         else:
@@ -909,8 +997,20 @@ class Estimator:
         F = cfg.num_frames
         st = self.state
         if old:
-            # depth re-anchor to frame 1 before shifting
+            # depth re-anchor to frame 1 before shifting; use the
+            # device-computed values when the marg pass produced them
+            pre_computed = getattr(self, "_reanchored", None)
+            self._reanchored = None
+
             def reanchor(slots):
+                if pre_computed is not None:
+                    _, new_inv, re_ok = pre_computed
+                    out = new_inv[slots].copy()
+                    out[~re_ok[slots]] = np.nan
+                    return out
+                return _reanchor_host(slots)
+
+            def _reanchor_host(slots):
                 from dynamic_vins_tpu.geometry import lie_np
 
                 fm = self.fm

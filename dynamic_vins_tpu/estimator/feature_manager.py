@@ -175,6 +175,44 @@ class FeatureManager:
         lm_valid = jnp.asarray(mask)
         return obs, lm_valid
 
+    def build_obs_packed(self):
+        """Packed obs table for single-transfer upload: returns numpy
+        (ints [C,4], floats [C,9], valid [C], lm_valid [L])."""
+        mask = self.solvable_mask()
+        slots = np.flatnonzero(mask)
+        rows_i, rows_f = [], []
+        for s in slots:
+            a = int(self.start_frame[s])
+            if not self.has_obs[s, a]:
+                continue
+            pa = self.pt[s, a]
+            va = self.vel[s, a]
+            frames = np.flatnonzero(self.has_obs[s])
+            for f in frames:
+                if f > a:
+                    rows_i.append((a, f, 0, s))
+                    rows_f.append((pa[0], pa[1], self.pt[s, f, 0],
+                                   self.pt[s, f, 1], va[0], va[1],
+                                   self.vel[s, f, 0], self.vel[s, f, 1],
+                                   0.0))
+                if self.has_right[s, f] and f >= a:
+                    rows_i.append((a, f, 1, s))
+                    rows_f.append((pa[0], pa[1],
+                                   self.pt_right[s, f, 0],
+                                   self.pt_right[s, f, 1], va[0], va[1],
+                                   self.vel_right[s, f, 0],
+                                   self.vel_right[s, f, 1], 0.0))
+        n = min(len(rows_i), self.obs_capacity)
+        C = self.obs_capacity
+        oi = np.zeros((C, 4), np.int32)
+        of = np.zeros((C, 9))
+        valid = np.zeros(C, bool)
+        if n:
+            oi[:n] = np.asarray(rows_i[:n], np.int32)
+            of[:n] = np.asarray(rows_f[:n])
+            valid[:n] = True
+        return oi, of, valid, mask
+
     def anchored_at_mask(self, frame: int):
         return jnp.asarray(self.active & (self.start_frame == frame)
                            & self.depth_valid)

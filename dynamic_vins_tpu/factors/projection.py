@@ -134,3 +134,21 @@ def residual_only(state: layout.WindowState, inv_depth, obs: ProjObs,
 
     r = jax.vmap(one)(obs, inv_depth[obs.lm])
     return jnp.where(obs.valid[:, None], r, 0.0)
+
+
+def unpack_obs(obs_i, obs_f, valid):
+    """Rebuild a ProjObs from the packed transfer arrays.
+
+    obs_i: [C,4] int32 (frame_i, frame_j, cam_j, lm);
+    obs_f: [C,9] (pt_i xy, pt_j xy, vel_i xy, vel_j xy, td_ref)."""
+    C = obs_i.shape[0]
+    one = jnp.ones((C, 1), obs_f.dtype)
+    zero = jnp.zeros((C, 1), obs_f.dtype)
+    return ProjObs(
+        frame_i=obs_i[:, 0], frame_j=obs_i[:, 1], cam_j=obs_i[:, 2],
+        lm=obs_i[:, 3],
+        pt_i=jnp.concatenate([obs_f[:, 0:2], one], axis=1),
+        pt_j=jnp.concatenate([obs_f[:, 2:4], one], axis=1),
+        vel_i=jnp.concatenate([obs_f[:, 4:6], zero], axis=1),
+        vel_j=jnp.concatenate([obs_f[:, 6:8], zero], axis=1),
+        td_ref=obs_f[:, 8], valid=valid)

@@ -93,3 +93,63 @@ def pixel_from_normalized(intr: PinholeIntrinsics, xy):
     u = intr.fx * xy_d[..., 0] + intr.cx
     v = intr.fy * xy_d[..., 1] + intr.cy
     return jnp.stack([u, v], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Equidistant (Kannala-Brandt) fisheye model — camodocal
+# EquidistantCamera parity (camera_models/src/.../EquidistantCamera.cc):
+# r(theta) = k... theta + k2 theta^3 + k3 theta^5 + k4 theta^7 + k5 theta^9
+# ---------------------------------------------------------------------------
+
+class EquidistantIntrinsics(NamedTuple):
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    k2: jnp.ndarray
+    k3: jnp.ndarray
+    k4: jnp.ndarray
+    k5: jnp.ndarray
+
+    @classmethod
+    def make(cls, fx, fy, cx, cy, k2=0.0, k3=0.0, k4=0.0, k5=0.0,
+             dtype=jnp.float32):
+        return cls(*[jnp.asarray(v, dtype=dtype)
+                     for v in (fx, fy, cx, cy, k2, k3, k4, k5)])
+
+
+def _kb_r(intr: EquidistantIntrinsics, theta):
+    t2 = theta * theta
+    return theta * (1.0 + t2 * (intr.k2 + t2 * (intr.k3 + t2 * (
+        intr.k4 + t2 * intr.k5))))
+
+
+def equidistant_project(intr: EquidistantIntrinsics, pts_cam):
+    """3D camera points [...,3] -> pixels (spaceToPlane)."""
+    x, y, z = pts_cam[..., 0], pts_cam[..., 1], pts_cam[..., 2]
+    rho = jnp.sqrt(x * x + y * y)
+    theta = jnp.arctan2(rho, z)
+    r = _kb_r(intr, theta)
+    scale = r / jnp.maximum(rho, 1e-12)
+    u = intr.fx * scale * x + intr.cx
+    v = intr.fy * scale * y + intr.cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def equidistant_lift(intr: EquidistantIntrinsics, uv,
+                     num_iters: int = 10):
+    """Pixels -> unit-norm rays (liftProjective): invert r(theta) by
+    fixed-count Newton iterations (jit-static)."""
+    mx = (uv[..., 0] - intr.cx) / intr.fx
+    my = (uv[..., 1] - intr.cy) / intr.fy
+    r_d = jnp.sqrt(mx * mx + my * my)
+    theta = r_d
+    for _ in range(num_iters):
+        t2 = theta * theta
+        f = _kb_r(intr, theta) - r_d
+        df = 1.0 + t2 * (3 * intr.k2 + t2 * (5 * intr.k3 + t2 * (
+            7 * intr.k4 + t2 * 9 * intr.k5)))
+        theta = theta - f / jnp.maximum(df, 1e-9)
+    s = jnp.sin(theta) / jnp.maximum(r_d, 1e-12)
+    ray = jnp.stack([s * mx, s * my, jnp.cos(theta)], axis=-1)
+    return ray

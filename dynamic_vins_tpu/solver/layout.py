@@ -87,6 +87,33 @@ class WindowState(NamedTuple):
         return WindowState(p_new, q_new, v_new, ba_new, bg_new,
                            pbc_new, qbc_new, td_new)
 
+    # ------------------------------------------------------------------
+    # packed single-array form (ONE host<->device transfer per stage —
+    # per-leaf transfers dominate latency on remote-attached TPUs)
+    # ------------------------------------------------------------------
+    def pack(self):
+        import numpy as _np
+
+        F = self.num_frames
+        xp = _np if type(self.p) is _np.ndarray else jnp
+        return xp.concatenate([
+            xp.ravel(self.p), xp.ravel(self.q), xp.ravel(self.v),
+            xp.ravel(self.ba), xp.ravel(self.bg), xp.ravel(self.p_bc),
+            xp.ravel(self.q_bc), xp.reshape(self.td, (1,))])
+
+    @classmethod
+    def unpack(cls, flat, num_frames: int):
+        F = num_frames
+        sizes = [3 * F, 4 * F, 3 * F, 3 * F, 3 * F, 6, 8, 1]
+        offs = [0]
+        for s in sizes:
+            offs.append(offs[-1] + s)
+        seg = lambda i: flat[offs[i]:offs[i + 1]]
+        return cls(seg(0).reshape(F, 3), seg(1).reshape(F, 4),
+                   seg(2).reshape(F, 3), seg(3).reshape(F, 3),
+                   seg(4).reshape(F, 3), seg(5).reshape(2, 3),
+                   seg(6).reshape(2, 4), seg(7).reshape(()))
+
     def boxminus(self, other: "WindowState"):
         """Tangent vector with other ⊞ delta = self."""
         F = self.num_frames

@@ -141,3 +141,17 @@ def test_camera_project_lift_roundtrip(rng):
     ray = camera.lift(intr, uv, num_iters=12)
     xy_expected = pts[:, :2] / pts[:, 2:3]
     np.testing.assert_allclose(np.asarray(ray[:, :2]), xy_expected, atol=1e-7)
+
+
+def test_equidistant_camera_roundtrip(rng):
+    from dynamic_vins_tpu.geometry import camera
+
+    intr = camera.EquidistantIntrinsics.make(
+        380.8, 380.3, 510.0, 514.0,
+        k2=-0.01, k3=0.02, k4=-0.02, k5=0.005, dtype=jnp.float64)
+    pts = rng.uniform(-1.5, 1.5, size=(128, 3))
+    pts[:, 2] = rng.uniform(0.5, 10.0, size=128)
+    uv = camera.equidistant_project(intr, jnp.asarray(pts))
+    ray = camera.equidistant_lift(intr, uv, num_iters=12)
+    ray_gt = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(ray), ray_gt, atol=1e-8)
