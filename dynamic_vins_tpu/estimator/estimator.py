@@ -605,6 +605,7 @@ class Estimator:
             p_wc, q_wc = lie_np.pose_compose(p_np, q_np, pbc, qbc)
             p_cw, q_cw = lie_np.pose_inverse(p_wc, q_wc)
             im.optimize(times, p_cw, q_cw)
+            im.reject_outliers()
         im.manage()
 
     def get_instance_states(self):

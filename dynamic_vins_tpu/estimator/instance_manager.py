@@ -386,6 +386,8 @@ class InstanceManager:
         (InstanceManager::Optimization, estimator_insts.cpp:772)."""
         if not (self.active & self.initialized).any():
             return
+        self._p_cw = np.asarray(ego_p_cw)
+        self._q_cw = np.asarray(ego_q_cw)
         states, lms, probs, active = self._build_problems(
             times, ego_p_cw, ego_q_cw)
         st, lm, cost = self._solve(states, lms, probs, active)
@@ -401,6 +403,37 @@ class InstanceManager:
         self.lm[ok] = np.asarray(lm)[ok]
 
     # ------------------------------------------------------------------
+    def reject_outliers(self, thresh: float = 5.0 / 460.0):
+        """Reprojection-based object landmark culling
+        (Instance::OutlierRejection parity): drop landmarks whose mean
+        reprojection error across their observations exceeds thresh."""
+        from dynamic_vins_tpu.geometry import lie_np
+
+        for s in np.flatnonzero(self.active & self.initialized):
+            for li in np.flatnonzero(self.lm_valid[s]):
+                errs = []
+                for f in range(self.cfg.num_frames):
+                    if not self.frame_valid[s, f]:
+                        continue
+                    for c in range(2):
+                        if not self.obs_valid[s, f, li, c]:
+                            continue
+                        pw = lie_np.quat_rotate(self.q[s, f],
+                                                self.lm[s, li]) \
+                            + self.p[s, f]
+                        pc = lie_np.pose_transform_point(
+                            self._p_cw[f, c], self._q_cw[f, c], pw)
+                        if pc[2] < 1e-2:
+                            errs.append(1.0)
+                            continue
+                        uv = pc[:2] / pc[2]
+                        errs.append(float(np.linalg.norm(
+                            uv - self.obs[s, f, li, c])))
+                if errs and np.mean(errs) > thresh:
+                    self.lm_valid[s, li] = False
+                    self.lm_feat_id[s, li] = -1
+                    self.obs_valid[s, :, li, :] = False
+
     def manage(self):
         """Delete lost instances (ManageInstances,
         dynamic_tracker.cpp:499: lost_num > 3)."""
