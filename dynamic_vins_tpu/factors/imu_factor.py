@@ -2,7 +2,7 @@
 
 Capability parity with `IMUFactor` (`estimator/imu/imu_factor.h:25`,
 SizedCostFunction<15, 7,9,7,9>): a whitened 15-dim residual between
-consecutive window frames, Jacobians via jacfwd over the 30-dim local
+consecutive window frames, Jacobians via jacrev over the 30-dim local
 tangent [dpose_i 6, dspeedbias_i 9, dpose_j 6, dspeedbias_j 9].
 """
 
@@ -49,7 +49,7 @@ def evaluate(state: layout.WindowState, pres: pre.Preintegration,
     def one(k, pre_k, si):
         zero = jnp.zeros((30,), dtype)
         r = _residual_local(zero, state, k, pre_k, si, gravity)
-        J = jax.jacfwd(_residual_local)(zero, state, k, pre_k, si, gravity)
+        J = jax.jacrev(_residual_local)(zero, state, k, pre_k, si, gravity)
         return r, J
 
     r, J = jax.vmap(one)(ks, pres, sqrt_infos)

@@ -3,7 +3,7 @@
 Capability parity with `lineProjectionFactor`
 (`estimator/factor/line_projection_factor.{h,cpp}`, 598 LoC of hand
 Jacobians): residual = distances of the two observed normalized
-endpoints to the projected infinite line, Jacobians via jacfwd over the
+endpoints to the projected infinite line, Jacobians via jacrev over the
 16-dim local tangent [dpose 6, dex 6, dorth 4].
 
 Lines live in the WORLD frame (not anchored), matching the reference's
@@ -75,7 +75,7 @@ def evaluate(state: layout.WindowState, line_orth, obs: LineObs,
     def one(row, orth_row):
         zero = jnp.zeros((16,), dtype)
         r = _residual_local(zero, row, state, orth_row, sqrt_info)
-        J = jax.jacfwd(_residual_local)(zero, row, state, orth_row,
+        J = jax.jacrev(_residual_local)(zero, row, state, orth_row,
                                         sqrt_info)
         return r, J
 

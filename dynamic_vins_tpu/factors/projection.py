@@ -9,7 +9,7 @@ compensation. Setting frame_j == frame_i and cam_j == 1 reproduces the
 one-frame-two-cam (stereo) factor.
 
 TPU-first: one residual function, `vmap`ped over an observation table;
-Jacobians w.r.t. the 26-dim local tangent via `jax.jacfwd` (analytic-
+Jacobians w.r.t. the 26-dim local tangent via `jax.jacrev` (analytic-
 quality, derived by AD instead of 850 lines of hand-written chain rule).
 """
 
@@ -99,7 +99,7 @@ def evaluate(state: layout.WindowState, inv_depth, obs: ProjObs,
     def one(row, dep):
         zero = jnp.zeros((26,), dtype)
         r = _residual_local(zero, row, state, dep, sqrt_info)
-        J = jax.jacfwd(_residual_local)(zero, row, state, dep, sqrt_info)
+        J = jax.jacrev(_residual_local)(zero, row, state, dep, sqrt_info)
         return r, J
 
     r, J = jax.vmap(one)(obs, inv_depth[obs.lm])

@@ -75,7 +75,7 @@ def build_normal_equations(graph: PoseGraph, config: PgoConfig):
     def one(e):
         zero = jnp.zeros((12,), dtype)
         r = _edge_local(zero, graph, e)
-        J = jax.jacfwd(_edge_local)(zero, graph, e)
+        J = jax.jacrev(_edge_local)(zero, graph, e)
         return r, J
 
     r, J = jax.vmap(one)(jnp.arange(E, dtype=jnp.int32))
