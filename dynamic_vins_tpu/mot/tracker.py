@@ -63,12 +63,19 @@ class MultiObjectTracker:
         self._next_id = 0
         self.embed_fn = embed_fn
 
-    def update(self, detections, classes=None, features=None
-               ) -> Dict[int, int]:
-        """detections: [N,4] tlbr. Returns {detection_idx: track_id}."""
+    def update(self, detections, classes=None, features=None,
+               img=None) -> Dict[int, int]:
+        """detections: [N,4] tlbr. Returns {detection_idx: track_id}.
+
+        If an `embed_fn` was supplied and `img` is given, appearance
+        features are computed here (Extractor::extract role,
+        mot/extractor.cpp:31-52)."""
         cfg = self.cfg
         detections = np.asarray(detections, float).reshape(-1, 4)
         n = len(detections)
+        if (features is None and self.embed_fn is not None
+                and img is not None and n):
+            features = self.embed_fn(img, detections)
         classes = (np.asarray(classes) if classes is not None
                    else np.zeros(n, int))
 

@@ -83,11 +83,41 @@ class System:
                             dynamic=cfg.slam == SlamMode.DYNAMIC),
             p_bc, q_bc)
 
+        # ---- online perception stages (models/ package) --------------
+        # The reference's ImageProcessor launches det2d/det3d/stereo per
+        # frame (image_process.cpp:149-162); offline artifacts arrive
+        # via FrameInput, online nets are instantiated here.
+        hw = (cfg.image_height, cfg.image_width)
+        self.det2d = self.det3d = self.stereo_net = self.flow_net = None
+        self._reid = None
+        if cfg.det2d_online and cfg.slam != SlamMode.RAW:
+            from dynamic_vins_tpu.models import OnlineDetector2D
+            self.det2d = OnlineDetector2D(
+                hw, score_thresh=cfg.det2d_score_thresh,
+                params_path=cfg.det2d_weights)
+        if cfg.det3d_online and cfg.slam == SlamMode.DYNAMIC:
+            from dynamic_vins_tpu.models import OnlineDetector3D
+            self.det3d = OnlineDetector3D(
+                hw, intr_vals[:4], params_path=cfg.det3d_weights)
+        if cfg.stereo_online and cfg.is_stereo:
+            from dynamic_vins_tpu.models import OnlineStereoMatcher
+            self.stereo_net = OnlineStereoMatcher(
+                hw, params_path=cfg.stereo_weights)
+        if cfg.use_dense_flow:
+            from dynamic_vins_tpu.models import OnlineFlowEstimator
+            self.flow_net = OnlineFlowEstimator(
+                hw, params_path=cfg.flow_weights)
+            self._prev_img = None
+        if cfg.use_reid:
+            from dynamic_vins_tpu.models import ReidExtractor
+            self._reid = ReidExtractor(params_path=cfg.reid_weights)
+
         self.mot = None
         self.inst_tracker = None
         if cfg.slam == SlamMode.DYNAMIC:
             self.mot = MultiObjectTracker(
-                MotConfig(n_init=cfg.mot_n_init, max_age=cfg.mot_max_age))
+                MotConfig(n_init=cfg.mot_n_init, max_age=cfg.mot_max_age),
+                embed_fn=self._reid)
             self.inst_tracker = InstanceTracker(
                 InstanceTrackerConfig(
                     max_dynamic_cnt=cfg.max_dynamic_cnt,
@@ -108,6 +138,19 @@ class System:
 
         # ---- perception: build masks / instances ----------------------
         with t.stage("perception"):
+            if self.det2d is not None and fi.seg is None:
+                fi.seg = self.det2d(fi.img_left)
+            if self.det3d is not None and not fi.boxes3d:
+                fi.boxes3d = self.det3d(fi.img_left)
+            if (self.stereo_net is not None and fi.disparity is None
+                    and fi.img_right is not None):
+                fi.disparity = self.stereo_net(fi.img_left,
+                                               fi.img_right)
+            if self.flow_net is not None:
+                self.last_flow = self.flow_net(self._prev_img,
+                                               fi.img_left) \
+                    if self._prev_img is not None else None
+                self._prev_img = fi.img_left
             masks_by_tid, background_mask = self._perception(fi)
 
         # ---- background tracking --------------------------------------
@@ -187,7 +230,8 @@ class System:
             masks = fi.seg.masks[keep]
             labels = fi.seg.labels[keep]
             boxes2d = perception.masks_to_boxes2d(masks)
-            assign = self.mot.update(boxes2d, classes=labels) \
+            assign = self.mot.update(boxes2d, classes=labels,
+                                     img=fi.img_left) \
                 if len(boxes2d) else {}
             # associate 2D <-> 3D boxes (BoxAssociate2Dto3D)
             for det_i, tid in assign.items():

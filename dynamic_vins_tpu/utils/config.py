@@ -84,6 +84,20 @@ class VioConfig:
     mot_n_init: int = 3
     static_inst_threshold: float = 0.5             # kStaticInstThreshold
 
+    # online perception (reference: per-module 'use_offline' switches;
+    # here the offline artifact loaders are the default and these turn
+    # on the JAX nets in dynamic_vins_tpu/models/)
+    det2d_online: bool = False                     # det2d use_offline=0
+    det3d_online: bool = False
+    stereo_online: bool = False
+    use_dense_flow: bool = False                   # 'use_dense_flow'
+    use_reid: bool = False                         # MOT appearance branch
+    det2d_weights: Optional[str] = None
+    det3d_weights: Optional[str] = None
+    stereo_weights: Optional[str] = None
+    flow_weights: Optional[str] = None
+    reid_weights: Optional[str] = None
+
     # io
     image_dataset_period_ms: int = 100             # 'image_dataset_period'
     output_dir: str = "output"
@@ -122,6 +136,12 @@ class VioConfig:
             "image_dataset_period": ("image_dataset_period_ms", int),
             "output_dir": ("output_dir", str),
             "basic_dir": ("basic_dir", str),
+            "det2d_online": ("det2d_online", lambda v: bool(int(v))),
+            "det3d_online": ("det3d_online", lambda v: bool(int(v))),
+            "stereo_online": ("stereo_online", lambda v: bool(int(v))),
+            "use_dense_flow": ("use_dense_flow",
+                               lambda v: bool(int(v))),
+            "use_reid": ("use_reid", lambda v: bool(int(v))),
         }
         for key, (attr, conv) in mapping.items():
             if key in raw and raw[key] is not None:

@@ -103,3 +103,25 @@ def test_system_dynamic_mode_smoke(tmp_path):
     assert len(sysm.mot.tracks) == 1
     sysm.close()
     assert os.path.exists(str(tmp_path / "run_mot.txt"))
+
+
+def test_system_online_perception_smoke(tmp_path):
+    """Dynamic mode with ALL online JAX perception stages active
+    (det2d/det3d/stereo/flow/reid), no offline artifacts supplied."""
+    cfg, rig = _make_cfg(SlamMode.DYNAMIC)
+    cfg.det2d_online = True
+    cfg.det3d_online = True
+    cfg.stereo_online = True
+    cfg.use_dense_flow = True
+    cfg.use_reid = True
+    cfg.det2d_score_thresh = 0.0       # random weights: accept anything
+    sysm = System(cfg, output_prefix=str(tmp_path / "run"))
+    assert sysm.det2d and sysm.det3d and sysm.stereo_net \
+        and sysm.flow_net and sysm._reid
+    rng = np.random.default_rng(0)
+    H, W = rig.height, rig.width
+    for k in range(2):
+        img = rng.uniform(0, 255, size=(H, W)).astype(np.float32)
+        sysm.process(FrameInput(0.1 * k, img, img))
+    assert sysm.last_flow is None or sysm.last_flow.shape == (H, W, 2)
+    sysm.close()
