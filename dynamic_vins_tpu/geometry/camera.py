@@ -153,3 +153,152 @@ def equidistant_lift(intr: EquidistantIntrinsics, uv,
     s = jnp.sin(theta) / jnp.maximum(r_d, 1e-12)
     ray = jnp.stack([s * mx, s * my, jnp.cos(theta)], axis=-1)
     return ray
+
+
+# ---------------------------------------------------------------------------
+# MEI (unified catadioptric) model — camodocal CataCamera parity
+# (camera_models/src/camera_models/CataCamera.cc): unit-sphere projection
+# with mirror parameter xi + radial-tangential distortion.
+# ---------------------------------------------------------------------------
+
+class CataIntrinsics(NamedTuple):
+    xi: jnp.ndarray
+    k1: jnp.ndarray
+    k2: jnp.ndarray
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+    gamma1: jnp.ndarray
+    gamma2: jnp.ndarray
+    u0: jnp.ndarray
+    v0: jnp.ndarray
+
+    @classmethod
+    def make(cls, xi, gamma1, gamma2, u0, v0, k1=0.0, k2=0.0, p1=0.0,
+             p2=0.0, dtype=jnp.float32):
+        return cls(*[jnp.asarray(v, dtype=dtype)
+                     for v in (xi, k1, k2, p1, p2, gamma1, gamma2,
+                               u0, v0)])
+
+    def _pinhole_dist(self):
+        """Reuse the rad-tan distortion helper on (k1,k2,p1,p2)."""
+        return PinholeIntrinsics(self.gamma1, self.gamma2, self.u0,
+                                 self.v0, self.k1, self.k2, self.p1,
+                                 self.p2)
+
+
+def cata_project(intr: CataIntrinsics, pts_cam):
+    """3D camera points [...,3] -> pixels (CataCamera::spaceToPlane)."""
+    norm = jnp.linalg.norm(pts_cam, axis=-1)
+    zs = pts_cam[..., 2] + intr.xi * norm
+    m = pts_cam[..., :2] / jnp.maximum(zs, 1e-9)[..., None]
+    m_d = m + distort(intr._pinhole_dist(), m)
+    u = intr.gamma1 * m_d[..., 0] + intr.u0
+    v = intr.gamma2 * m_d[..., 1] + intr.v0
+    return jnp.stack([u, v], axis=-1)
+
+
+def cata_lift(intr: CataIntrinsics, uv, num_iters: int = 8):
+    """Pixels -> rays (CataCamera::liftProjective): fixed-point
+    undistortion, then closed-form lift off the unit sphere
+    (CataCamera.cc lambda formula)."""
+    mx_d = (uv[..., 0] - intr.u0) / intr.gamma1
+    my_d = (uv[..., 1] - intr.v0) / intr.gamma2
+    pd = jnp.stack([mx_d, my_d], axis=-1)
+    pu = pd
+    dist = intr._pinhole_dist()
+    for _ in range(num_iters):
+        pu = pd - distort(dist, pu)
+    rho2 = jnp.sum(pu * pu, axis=-1)
+    xi = intr.xi
+    lam = (xi + jnp.sqrt(1.0 + (1.0 - xi * xi) * rho2)) / (1.0 + rho2)
+    ray = jnp.concatenate([lam[..., None] * pu,
+                           (lam - xi)[..., None]], axis=-1)
+    return ray / jnp.maximum(
+        jnp.linalg.norm(ray, axis=-1, keepdims=True), 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Scaramuzza (OCamCalib) omnidirectional model — camodocal
+# ScaramuzzaCamera parity (camera_models/src/.../ScaramuzzaCamera.cc):
+# cam2world polynomial in the image radius, world2cam inverse polynomial
+# in the incidence angle, plus a 2x2 affine (c,d,e) + center.
+# ---------------------------------------------------------------------------
+
+SCARAMUZZA_POLY_SIZE = 5
+SCARAMUZZA_INV_POLY_SIZE = 12
+
+
+class ScaramuzzaIntrinsics(NamedTuple):
+    poly: jnp.ndarray        # [5]  cam2world: z = sum_i poly[i] rho^i
+    inv_poly: jnp.ndarray    # [12] world2cam: rho = sum_i ip[i] theta^i
+    c: jnp.ndarray
+    d: jnp.ndarray
+    e: jnp.ndarray
+    center_x: jnp.ndarray
+    center_y: jnp.ndarray
+
+    @classmethod
+    def make(cls, poly, inv_poly, center_x, center_y, c=1.0, d=0.0,
+             e=0.0, dtype=jnp.float32):
+        poly = jnp.zeros(SCARAMUZZA_POLY_SIZE, dtype).at[
+            :len(poly)].set(jnp.asarray(poly, dtype))
+        inv_poly = jnp.zeros(SCARAMUZZA_INV_POLY_SIZE, dtype).at[
+            :len(inv_poly)].set(jnp.asarray(inv_poly, dtype))
+        return cls(poly, inv_poly,
+                   *[jnp.asarray(v, dtype=dtype)
+                     for v in (c, d, e, center_x, center_y)])
+
+
+def _polyval(coeffs, x):
+    """sum_i coeffs[i] * x^i with static coefficient count."""
+    out = jnp.zeros_like(x)
+    for i in range(coeffs.shape[0] - 1, -1, -1):
+        out = out * x + coeffs[i]
+    return out
+
+
+def scaramuzza_lift(intr: ScaramuzzaIntrinsics, uv):
+    """Pixels -> unit rays (ScaramuzzaCamera::liftProjective).
+
+    Convention: the OCamCalib polynomial gives z' = poly(rho) in a
+    frame whose optical axis points along -z; camodocal flips it so the
+    returned ray has z>0 forward."""
+    du = uv[..., 0] - intr.center_x
+    dv = uv[..., 1] - intr.center_y
+    inv_det = 1.0 / (intr.c - intr.d * intr.e)
+    xp = inv_det * (du - intr.d * dv)
+    yp = inv_det * (-intr.e * du + intr.c * dv)
+    rho = jnp.sqrt(xp * xp + yp * yp)
+    zp = -_polyval(intr.poly, rho)
+    ray = jnp.stack([xp, yp, zp], axis=-1)
+    return ray / jnp.maximum(
+        jnp.linalg.norm(ray, axis=-1, keepdims=True), 1e-12)
+
+
+def scaramuzza_project(intr: ScaramuzzaIntrinsics, pts_cam):
+    """3D camera points -> pixels (ScaramuzzaCamera::spaceToPlane)."""
+    x, y, z = pts_cam[..., 0], pts_cam[..., 1], pts_cam[..., 2]
+    norm_xy = jnp.sqrt(x * x + y * y)
+    theta = jnp.arctan2(-z, jnp.maximum(norm_xy, 1e-12))
+    rho = _polyval(intr.inv_poly, theta)
+    inv_n = 1.0 / jnp.maximum(norm_xy, 1e-12)
+    xn = x * inv_n * rho
+    yn = y * inv_n * rho
+    u = xn * intr.c + yn * intr.d + intr.center_x
+    v = xn * intr.e + yn + intr.center_y
+    return jnp.stack([u, v], axis=-1)
+
+
+def scaramuzza_fit_inverse(poly, max_rho: float, n: int = 256):
+    """Fit the world2cam inverse polynomial from the cam2world one by
+    dense sampling + least squares (the OCamCalib `findinvpoly`
+    procedure the reference's calibrations were produced with)."""
+    import numpy as _np
+
+    rho = _np.linspace(1e-3, max_rho, n)
+    z = -_np.polyval(_np.asarray(poly)[::-1], rho)
+    theta = _np.arctan2(-z, rho)
+    A = _np.stack([theta ** i
+                   for i in range(SCARAMUZZA_INV_POLY_SIZE)], axis=-1)
+    coef, *_ = _np.linalg.lstsq(A, rho, rcond=None)
+    return coef

@@ -155,3 +155,36 @@ def test_equidistant_camera_roundtrip(rng):
     ray = camera.equidistant_lift(intr, uv, num_iters=12)
     ray_gt = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
     np.testing.assert_allclose(np.asarray(ray), ray_gt, atol=1e-8)
+
+
+def test_cata_camera_roundtrip():
+    """MEI model: project(lift(uv)) == uv across the image."""
+    from dynamic_vins_tpu.geometry import camera
+    import itertools
+
+    intr = camera.CataIntrinsics.make(
+        0.9, 360.0, 362.0, 376.0, 240.0, k1=-0.1, k2=0.02, p1=1e-4,
+        p2=-2e-4, dtype=jnp.float64)
+    uv = jnp.asarray([[u, v] for u, v in itertools.product(
+        [40.0, 376.0, 700.0], [40.0, 240.0, 430.0])], jnp.float64)
+    ray = camera.cata_lift(intr, uv, num_iters=12)
+    assert np.allclose(np.linalg.norm(np.asarray(ray), axis=-1), 1.0)
+    uv2 = camera.cata_project(intr, ray * 3.0)   # scale-invariant
+    assert np.allclose(np.asarray(uv2), np.asarray(uv), atol=1e-5)
+
+
+def test_scaramuzza_camera_roundtrip():
+    from dynamic_vins_tpu.geometry import camera
+
+    # a typical OCamCalib fisheye polynomial (z' = a0 + a2 rho^2 + ...)
+    poly = [-250.0, 0.0, 1.2e-3, -2.0e-7, 1.0e-10]
+    inv = camera.scaramuzza_fit_inverse(poly, max_rho=380.0)
+    intr = camera.ScaramuzzaIntrinsics.make(
+        poly, inv, 400.0, 300.0, c=1.001, d=1e-4, e=-2e-4,
+        dtype=jnp.float64)
+    uv = jnp.asarray([[150.0, 120.0], [400.0, 300.0], [620.0, 450.0],
+                      [90.0, 500.0]], jnp.float64)
+    ray = camera.scaramuzza_lift(intr, uv)
+    assert np.all(np.asarray(ray)[:, 2] > 0)     # forward-looking
+    uv2 = camera.scaramuzza_project(intr, ray * 5.0)
+    assert np.allclose(np.asarray(uv2), np.asarray(uv), atol=0.05)
