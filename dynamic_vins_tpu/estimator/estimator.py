@@ -46,6 +46,7 @@ class EstimatorConfig:
     estimate_td: bool = False
     outlier_thresh: float = 3.0 / 460.0   # reproj err, normalized plane
     max_depth: float = 200.0
+    use_megastep: bool = True       # steady-state single-dispatch frame
     dynamic: bool = False           # per-object estimation (slam: dynamic)
     use_line: bool = False          # LinePoint mode (PL-VINS capability)
     line_capacity: int = 64
@@ -461,6 +462,128 @@ class Estimator:
 
         self._marg_old_shifted = marg_old_shifted
 
+        outlier_thresh = self.cfg.outlier_thresh
+        F1, E_last = F - 1, F - 2
+
+        @jax.jit
+        def megastep(flat, pres, acc, gyr, dts, mask, pnp_pack,
+                     anchors, tri_f, stereo_ok, two_ok, tri_req,
+                     solvable_if_tri, oi, of, ov, lm_valid_base,
+                     inv_depth, imu_valid, prior, drop_base, pt0,
+                     is_keyframe):
+            """The steady-state frame in ONE dispatch: IMU edge refresh
+            + propagation + PnP refine -> triangulation of new slots ->
+            BA solve + outlier scores -> marginalization (old/second-new
+            under `lax.cond`). Replaces 4 host<->device round trips —
+            on remote-attached chips the round trip dominates the frame
+            time (see docs/ROUND1.md numbers)."""
+            pres2, flat2, _err = prepare_frame(flat, pres, E_last, acc,
+                                               gyr, dts, mask, F1,
+                                               pnp_pack)
+            d, tok = triangulate_slots(flat2, anchors, tri_f, stereo_ok,
+                                       two_ok, F1)
+            new_tri = tri_req & tok
+            inv_depth = jnp.where(new_tri,
+                                  1.0 / jnp.maximum(d, 1e-6), inv_depth)
+            lm_valid = lm_valid_base | (new_tri & solvable_if_tri)
+            ov2 = ov & lm_valid[oi[:, 3]]
+
+            flat3, dep, cost, scores = solve_score(
+                flat2, inv_depth, oi, of, ov2, pres2, imu_valid, prior,
+                lm_valid)
+
+            # outlier + negative-depth gating before the marg (the host
+            # path prunes pools between solve and marg; same semantics)
+            bad = ((scores > outlier_thresh) | (dep < 1e-4)) & lm_valid
+            lm_valid_m = lm_valid & ~bad
+            ov3 = ov2 & ~bad[oi[:, 3]]
+            drop = drop_base | (new_tri & (anchors == 0))
+
+            def kf_branch(_):
+                return marg_old_shifted(flat3, dep, oi, of, ov3, pres2,
+                                        imu_valid, prior, lm_valid_m,
+                                        drop, pt0)
+
+            def nkf_branch(_):
+                pr2 = marg.marginalize_second_new(prior, F)
+                pr2 = marg.shift_prior_after_slide_new(pr2)
+                pr_out = jax.tree.map(
+                    lambda n_, o_: jnp.where(prior.valid, n_, o_),
+                    pr2, prior)
+                return (pr_out, dep,
+                        jnp.zeros(dep.shape[0], bool))
+
+            prior_out, new_inv, re_ok = jax.lax.cond(
+                is_keyframe, kf_branch, nkf_branch, operand=None)
+            return (pres2, flat3, dep, new_tri, cost, bad, prior_out,
+                    new_inv, re_ok)
+
+        self._megastep = megastep
+
+        # -------- packed-blob wrapper: 2 uploads + 1 fetch per frame.
+        # Every jnp.asarray(host_array) is its own host->device transfer;
+        # on a remote-attached chip each costs a tunnel round trip, so
+        # the ~18 megastep inputs are marshalled into ONE float blob +
+        # ONE int blob and all fetched outputs into one vector.
+        S = int(np.asarray(self.state.pack()).size)
+        L = self.cfg.lm_capacity
+        Co = self.cfg.obs_capacity
+        C = self.cfg.imu_per_edge
+        E = F - 1
+        fsec = [("flat", S), ("acc", 3 * (C + 1)), ("gyr", 3 * (C + 1)),
+                ("dts", C), ("pnp", 6 * L), ("tri_f", 6 * L),
+                ("of", 9 * Co), ("inv", L), ("pt0", 3 * L)]
+        isec = [("oi", 4 * Co), ("anchors", L), ("stereo", L),
+                ("two", L), ("tri_req", L), ("solv", L), ("lmv", L),
+                ("drop", L), ("ov", Co), ("imu_n", E), ("n_e", 1),
+                ("is_kf", 1)]
+        foff, ioff = {}, {}
+        o = 0
+        for name, n in fsec:
+            foff[name] = (o, o + n)
+            o += n
+        self._mega_fsize = o
+        o = 0
+        for name, n in isec:
+            ioff[name] = (o, o + n)
+            o += n
+        self._mega_isize = o
+        self._mega_foff, self._mega_ioff = foff, ioff
+
+        @jax.jit
+        def megastep_packed(fblob, iblob, pres, prior):
+            fs = lambda n: fblob[foff[n][0]:foff[n][1]]
+            is_ = lambda n: iblob[ioff[n][0]:ioff[n][1]]
+            flat = fs("flat")
+            acc = fs("acc").reshape(C + 1, 3)
+            gyr = fs("gyr").reshape(C + 1, 3)
+            dts = fs("dts")
+            mask = jnp.arange(C) < is_("n_e")[0]
+            pnp_pack = fs("pnp").reshape(L, 6)
+            tri_f = fs("tri_f").reshape(L, 6)
+            of = fs("of").reshape(Co, 9)
+            inv_depth = fs("inv")
+            pt0 = fs("pt0").reshape(L, 3)
+            oi = is_("oi").reshape(Co, 4)
+            anchors = is_("anchors")
+            b = lambda n: is_(n).astype(bool)
+            imu_n = is_("imu_n")
+            imu_valid = (imu_n > 0) & use_imu_static \
+                & (jnp.arange(E) < (F - 1))
+            (pres2, flat3, dep, new_tri, cost, bad, prior_out, new_inv,
+             re_ok) = megastep(
+                flat, pres, acc, gyr, dts, mask, pnp_pack, anchors,
+                tri_f, b("stereo"), b("two"), b("tri_req"), b("solv"),
+                oi, of, b("ov"), b("lmv"), inv_depth, imu_valid, prior,
+                b("drop"), pt0, is_("is_kf")[0] > 0)
+            out = jnp.concatenate([
+                flat3, dep, new_tri.astype(flat3.dtype),
+                bad.astype(flat3.dtype), new_inv,
+                re_ok.astype(flat3.dtype), cost[None]])
+            return pres2, prior_out, out
+
+        self._megastep_packed = megastep_packed
+
     # ------------------------------------------------------------------
     # IMU ingestion
     # ------------------------------------------------------------------
@@ -535,6 +658,16 @@ class Estimator:
         is_keyframe = self.fm.add_features(k, frame.features)
         if self.lines is not None and frame.lines:
             self.lines.add_lines(k, frame.lines)
+
+        # steady-state fast path: whole frame in ONE device dispatch
+        if (cfg.use_megastep and self.initialized and k == F - 1
+                and self.lines is None):
+            self._megastep_frame(is_keyframe)
+            if self.im is not None and instances is not None:
+                self._process_instances(k, instances)
+            out = self._output(k)
+            self._slide(is_keyframe)
+            return out
 
         # initial pose for the new frame
         if k == 0:
@@ -611,6 +744,120 @@ class Estimator:
     def get_instance_states(self):
         """Snapshot of per-object states (GetOutputInstInfo parity)."""
         return {} if self.im is None else self.im.output()
+
+    # ------------------------------------------------------------------
+    def _megastep_frame(self, is_keyframe: bool):
+        """Steady-state frame (window full, initialized, point-only):
+        gather all host tables, ONE device dispatch, write back."""
+        cfg = self.cfg
+        fm = self.fm
+        F = cfg.num_frames
+        k, e = F - 1, F - 2
+        cap = cfg.lm_capacity
+
+        # PnP pack (same as _prepare)
+        pnp_pack = np.zeros((cap, 6))
+        msel = fm.active & fm.depth_valid & fm.has_obs[:, k] & \
+            (fm.start_frame < k)
+        slots = np.flatnonzero(msel)
+        if slots.size >= 6:
+            pnp_pack[:slots.size, 0:3] = \
+                self._landmark_world_positions(slots)
+            pnp_pack[:slots.size, 3:5] = fm.pt[slots, k, :2]
+            pnp_pack[:slots.size, 5] = 1.0
+
+        # triangulation candidates (same as _triangulate_new)
+        need = fm.active & ~fm.depth_valid & (fm.start_frame <= k)
+        anchors = fm.start_frame.astype(np.int32)
+        stereo_ok = np.zeros(cap, bool)
+        two_ok = np.zeros(cap, bool)
+        tri_f = np.zeros((cap, 6))
+        for sl in np.flatnonzero(need):
+            a = int(fm.start_frame[sl])
+            if cfg.stereo and fm.has_right[sl, a]:
+                stereo_ok[sl] = True
+                tri_f[sl, 0:2] = fm.pt[sl, a, :2]
+                tri_f[sl, 2:4] = fm.pt_right[sl, a, :2]
+            elif a < k and fm.has_obs[sl, k]:
+                two_ok[sl] = True
+                tri_f[sl, 0:2] = fm.pt[sl, a, :2]
+                tri_f[sl, 4:6] = fm.pt[sl, k, :2]
+        tri_req = stereo_ok | two_ok
+        total_obs = fm.has_obs.sum(1) + fm.has_right.sum(1)
+        solvable_if_tri = tri_req & (total_obs >= 2)
+
+        oi, of, ov, lm_valid_base = fm.build_obs_packed(
+            extra_mask=tri_req)
+        drop_base = fm.active & (fm.start_frame == 0) & fm.depth_valid
+        pt0 = np.array(fm.pt[:, 0])
+
+        # ---- marshal into 2 blobs (see megastep_packed) --------------
+        L = cap
+        # without x64 the device holds f32 anyway: build the blob as
+        # f32 so the (tunneled) upload moves half the bytes
+        blob_dt = np.float64 if jax.config.jax_enable_x64 \
+            else np.float32
+        fblob = np.zeros(self._mega_fsize, blob_dt)
+        iblob = np.zeros(self._mega_isize, np.int32)
+        fo, io = self._mega_foff, self._mega_ioff
+        put_f = lambda n, a: fblob.__setitem__(
+            slice(*fo[n]), np.asarray(a, blob_dt).ravel())
+        put_i = lambda n, a: iblob.__setitem__(
+            slice(*io[n]), np.asarray(a, np.int32).ravel())
+        put_f("flat", self.state.pack())
+        put_f("acc", self.imu_acc[e])
+        put_f("gyr", self.imu_gyr[e])
+        put_f("dts", self.imu_dt[e])
+        put_f("pnp", pnp_pack)
+        put_f("tri_f", tri_f)
+        put_f("of", of)
+        put_f("inv", fm.inv_depth)
+        put_f("pt0", pt0)
+        put_i("oi", oi)
+        put_i("anchors", anchors)
+        put_i("stereo", stereo_ok)
+        put_i("two", two_ok)
+        put_i("tri_req", tri_req)
+        put_i("solv", solvable_if_tri)
+        put_i("lmv", lm_valid_base)
+        put_i("drop", drop_base)
+        put_i("ov", ov)
+        put_i("imu_n", self.imu_n)
+        put_i("n_e", self.imu_n[e])
+        put_i("is_kf", int(is_keyframe))
+
+        pres2, prior_out, outblob = self._megastep_packed(
+            jnp.asarray(fblob), jnp.asarray(iblob), self._pres,
+            self.prior)
+        self._pres = pres2
+        # np.array (copy): np.asarray of a device array is read-only,
+        # and the window state / fm pools are mutated in place
+        outblob = np.array(outblob)
+
+        S = fo["flat"][1]
+        flat = outblob[:S]
+        dep = outblob[S:S + L]
+        new_tri = outblob[S + L:S + 2 * L] > 0.5
+        bad = outblob[S + 2 * L:S + 3 * L] > 0.5
+        new_inv = outblob[S + 3 * L:S + 4 * L]
+        re_ok = outblob[S + 4 * L:S + 5 * L] > 0.5
+        cost = outblob[-1]
+
+        if not np.isfinite(float(cost)):
+            self.failed = True
+            return
+        self.state = layout.WindowState.unpack(flat, F)
+        fm.inv_depth[new_tri] = dep[new_tri]
+        fm.depth_valid[new_tri] = True
+        lm_valid_host = np.asarray(lm_valid_base) | \
+            (new_tri & solvable_if_tri)
+        fm.set_depths(dep, valid_update=lm_valid_host)
+        fm.remove_outliers(bad)
+        self._check_failure()
+
+        self.prior = prior_out
+        if is_keyframe:
+            self._reanchored = (None, new_inv, re_ok)
 
     def _prepare(self, k):
         """One-dispatch frame prep (packed state transfer)."""

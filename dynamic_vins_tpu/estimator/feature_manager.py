@@ -175,42 +175,60 @@ class FeatureManager:
         lm_valid = jnp.asarray(mask)
         return obs, lm_valid
 
-    def build_obs_packed(self):
+    def build_obs_packed(self, extra_mask=None):
         """Packed obs table for single-transfer upload: returns numpy
-        (ints [C,4], floats [C,9], valid [C], lm_valid [L])."""
+        (ints [C,4], floats [C,9], valid [C], lm_valid [L]).
+
+        extra_mask: optional slots to ALSO emit rows for (triangulation
+        candidates in the megastep — their rows are gated on-device by
+        the computed landmark validity)."""
         mask = self.solvable_mask()
-        slots = np.flatnonzero(mask)
-        rows_i, rows_f = [], []
-        for s in slots:
-            a = int(self.start_frame[s])
-            if not self.has_obs[s, a]:
-                continue
-            pa = self.pt[s, a]
-            va = self.vel[s, a]
-            frames = np.flatnonzero(self.has_obs[s])
-            for f in frames:
-                if f > a:
-                    rows_i.append((a, f, 0, s))
-                    rows_f.append((pa[0], pa[1], self.pt[s, f, 0],
-                                   self.pt[s, f, 1], va[0], va[1],
-                                   self.vel[s, f, 0], self.vel[s, f, 1],
-                                   0.0))
-                if self.has_right[s, f] and f >= a:
-                    rows_i.append((a, f, 1, s))
-                    rows_f.append((pa[0], pa[1],
-                                   self.pt_right[s, f, 0],
-                                   self.pt_right[s, f, 1], va[0], va[1],
-                                   self.vel_right[s, f, 0],
-                                   self.vel_right[s, f, 1], 0.0))
-        n = min(len(rows_i), self.obs_capacity)
+        slots = np.flatnonzero(mask if extra_mask is None
+                               else (mask | extra_mask))
         C = self.obs_capacity
         oi = np.zeros((C, 4), np.int32)
         of = np.zeros((C, 9))
         valid = np.zeros(C, bool)
-        if n:
-            oi[:n] = np.asarray(rows_i[:n], np.int32)
-            of[:n] = np.asarray(rows_f[:n])
-            valid[:n] = True
+        if not slots.size:
+            return oi, of, valid, mask
+        # vectorized row emission (the python loop version was ~40 ms
+        # per frame at capacity — on the hot path of every frame)
+        A = self.start_frame[slots]                         # [n]
+        anchored = self.has_obs[slots, A]                   # [n]
+        slots = slots[anchored]
+        A = A[anchored]
+        F = self.num_frames
+        ff = np.arange(F)[None, :]
+        sel_l = self.has_obs[slots] & (ff > A[:, None])     # [n,F]
+        sel_r = self.has_right[slots] & (ff >= A[:, None])
+        si_l, f_l = np.nonzero(sel_l)
+        si_r, f_r = np.nonzero(sel_r)
+        si = np.concatenate([si_l, si_r])
+        f = np.concatenate([f_l, f_r])
+        cam = np.concatenate([np.zeros_like(f_l),
+                              np.ones_like(f_r)])
+        # original emission order: per slot, per frame, left then right
+        order = np.lexsort((cam, f, si))
+        si, f, cam = si[order], f[order], cam[order]
+        s = slots[si]
+        a = A[si]
+        n = min(s.size, C)
+        sl = slice(0, n)
+        si, f, cam, s, a = si[:n], f[:n], cam[:n], s[:n], a[:n]
+        oi[sl, 0] = a
+        oi[sl, 1] = f
+        oi[sl, 2] = cam
+        oi[sl, 3] = s
+        of[sl, 0:2] = self.pt[s, a, :2]
+        of[sl, 4:6] = self.vel[s, a, :2]
+        left = cam == 0
+        pt_j = np.where(left[:, None], self.pt[s, f, :2],
+                        self.pt_right[s, f, :2])
+        vel_j = np.where(left[:, None], self.vel[s, f, :2],
+                         self.vel_right[s, f, :2])
+        of[sl, 2:4] = pt_j
+        of[sl, 6:8] = vel_j
+        valid[sl] = True
         return oi, of, valid, mask
 
     def anchored_at_mask(self, frame: int):

@@ -62,3 +62,18 @@ def test_estimator_reset():
     est.reset()
     assert not est.initialized
     assert est.frame_count == 0
+
+
+def test_megastep_matches_multidispatch():
+    """The single-dispatch steady-state megastep must reproduce the
+    multi-dispatch reference path (same math, fused)."""
+    ate_fast, est_fast, outs_fast = _run_sequence(
+        num_frames=14, cfg_kwargs={"use_megastep": True})
+    ate_ref, est_ref, outs_ref = _run_sequence(
+        num_frames=14, cfg_kwargs={"use_megastep": False})
+    p_fast = np.stack([o.p for o in outs_fast])
+    p_ref = np.stack([o.p for o in outs_ref])
+    # identical inputs; paths differ only in dispatch granularity
+    assert np.allclose(p_fast, p_ref, atol=5e-4), \
+        np.abs(p_fast - p_ref).max()
+    assert abs(ate_fast - ate_ref) < 5e-4
