@@ -24,6 +24,7 @@ CERES_BASELINE_ITERS_PER_S = 125.0
 
 
 def main():
+    t_script0 = time.perf_counter()
     dtype = jnp.float32
 
     from dynamic_vins_tpu.imu import preintegration as pre
@@ -87,6 +88,47 @@ def main():
 
     iters_per_s = ITERS * reps / (t1 - t0)
 
+    # secondary: end-to-end estimator frame loop (steady-state megastep)
+    # skipped when the primary bench already ate the time budget (slow
+    # remote compiles) or when DV_BENCH_FAST is set
+    import os
+    e2e_ms = e2e_ate = None
+    t_budget_ok = (time.perf_counter() - t_script0) < 300.0
+    try:
+        if os.environ.get("DV_BENCH_FAST") or not t_budget_ok:
+            raise RuntimeError("skip e2e")
+        from dynamic_vins_tpu.estimator.estimator import (Estimator,
+                                                          EstimatorConfig)
+        from dynamic_vins_tpu.sim import frontend_sim
+        from dynamic_vins_tpu.sim import synthetic as sim_mod
+
+        seq2 = sim_mod.generate_sequence(num_frames=30, imu_hz=200.0,
+                                         acc_noise=0.05,
+                                         gyr_noise=0.005,
+                                         num_landmarks=250, seed=0)
+        fr2 = frontend_sim.make_frames(seq2, pixel_noise=0.5)
+        rig = seq2.rig
+        p_bc = np.stack([np.asarray(rig.p_bc),
+                         np.asarray(rig.right_extrinsics()[0])])
+        q_bc = np.stack([np.asarray(rig.q_bc),
+                         np.asarray(rig.right_extrinsics()[1])])
+        est = Estimator(EstimatorConfig(num_frames=11, lm_capacity=512,
+                                        obs_capacity=8192), p_bc, q_bc)
+        est.set_initial_pose(
+            np.asarray(seq2.gt_p[0]), np.asarray(seq2.gt_q[0]),
+            np.asarray(sim_mod.state_at(seq2.frame_times[0])[2]))
+        times = []
+        outs = []
+        for frame, imu in fr2:
+            f_t0 = time.perf_counter()
+            outs.append(est.process_frame(frame, imu))
+            times.append(time.perf_counter() - f_t0)
+        e2e_ms = float(np.median(np.array(times[18:]) * 1000))
+        e2e_ate = frontend_sim.ate_rmse(
+            np.stack([o.p for o in outs]), np.asarray(seq2.gt_p))
+    except Exception:
+        pass
+
     # secondary: pallas LK kernel rate (256 features x 10 iterations)
     lk_ms = None
     try:
@@ -126,6 +168,10 @@ def main():
                           float(info.final_cost)],
             "pallas_lk_ms_256pts": (round(lk_ms, 3)
                                     if lk_ms is not None else None),
+            "e2e_ms_per_frame": (round(e2e_ms, 1)
+                                 if e2e_ms is not None else None),
+            "e2e_ate_m": (round(float(e2e_ate), 4)
+                          if e2e_ate is not None else None),
         },
     }
     print(json.dumps(out))

@@ -192,3 +192,65 @@ def viode_instance_masks(seg_rgb, dynamic_rgb=None, min_area: int = 100):
         if m.sum() >= min_area:
             out[int(k)] = m
     return out
+
+
+@dataclass
+class KittiRawDataset:
+    """KITTI *raw* layout (kitti_pub package parity: publishes raw
+    images + OXTS as topics, `kitti_pub/src/*`): drive_dir contains
+    image_00..03/data/*.png, oxts/data/*.txt, and per-sensor
+    timestamps.txt. Here the same data becomes an iterator + ground
+    truth accessor (ROS replaced by file IO, SURVEY.md §7)."""
+
+    drive_dir: str
+    left_cam: str = "image_00"
+    right_cam: str = "image_01"
+
+    def _timestamps(self, sensor: str):
+        path = os.path.join(self.drive_dir, sensor, "timestamps.txt")
+        if not os.path.exists(path):
+            return None
+        out = []
+        import datetime
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                # 2011-09-26 13:02:25.594360375 (ns precision)
+                d, t = line.split()
+                hh, mm, ss = t.split(":")
+                out.append(int(hh) * 3600 + int(mm) * 60 + float(ss))
+        return np.asarray(out)
+
+    def frames(self) -> Iterator[StereoFrame]:
+        ldir = os.path.join(self.drive_dir, self.left_cam, "data")
+        rdir = os.path.join(self.drive_dir, self.right_cam, "data")
+        ts = self._timestamps(self.left_cam)
+        lefts = sorted(glob.glob(os.path.join(ldir, "*.png")))
+        for i, pl in enumerate(lefts):
+            il = cv2.imread(pl, cv2.IMREAD_GRAYSCALE)
+            if il is None:
+                continue
+            pr = os.path.join(rdir, os.path.basename(pl))
+            ir = cv2.imread(pr, cv2.IMREAD_GRAYSCALE) \
+                if os.path.exists(pr) else None
+            t = float(ts[i]) if ts is not None and i < len(ts) \
+                else i * 0.1
+            yield StereoFrame(t, il.astype(np.float32),
+                              None if ir is None
+                              else ir.astype(np.float32))
+
+    def oxts_ground_truth(self, out_tum: str = None):
+        """OXTS -> (t, p, R) list; optionally write TUM ground truth
+        (save_oxts parity, via io.eval_tools)."""
+        from dynamic_vins_tpu.io import eval_tools
+
+        ts = self._timestamps("oxts")
+        poses = eval_tools.read_oxts_dir(
+            os.path.join(self.drive_dir, "oxts", "data"), ts)
+        if out_tum:
+            eval_tools.save_oxts_tum(
+                os.path.join(self.drive_dir, "oxts", "data"), out_tum,
+                ts)
+        return poses

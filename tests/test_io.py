@@ -132,3 +132,39 @@ body_T_cam0: [1,0,0, 0.1, 0,1,0, 0.2, 0,0,1, 0.3, 0,0,0,1]
     p_bc, q_bc = cfg.extrinsics()
     np.testing.assert_allclose(p_bc[0], [0.1, 0.2, 0.3])
     np.testing.assert_allclose(q_bc[0], [1, 0, 0, 0])
+
+
+def test_kitti_raw_dataset(tmp_path):
+    import cv2
+    import numpy as np
+    from dynamic_vins_tpu.io.datasets import KittiRawDataset
+
+    drive = tmp_path / "2011_09_26_drive_0001_sync"
+    for cam in ("image_00", "image_01"):
+        d = drive / cam / "data"
+        d.mkdir(parents=True)
+        with open(drive / cam / "timestamps.txt", "w") as f:
+            for i in range(3):
+                f.write(f"2011-09-26 13:02:{25 + i:02d}.500000000\n")
+        for i in range(3):
+            cv2.imwrite(str(d / f"{i:010d}.png"),
+                        np.full((40, 60), i * 40, np.uint8))
+    oxts = drive / "oxts" / "data"
+    oxts.mkdir(parents=True)
+    with open(drive / "oxts" / "timestamps.txt", "w") as f:
+        for i in range(3):
+            f.write(f"2011-09-26 13:02:{25 + i:02d}.500000000\n")
+    for i in range(3):
+        vals = np.zeros(30)
+        vals[0], vals[1], vals[2] = 49.0, 8.43 + i * 1e-5, 110.0
+        np.savetxt(oxts / f"{i:010d}.txt", vals[None])
+
+    ds = KittiRawDataset(str(drive))
+    frames = list(ds.frames())
+    assert len(frames) == 3
+    assert frames[1].t - frames[0].t == pytest.approx(1.0)
+    assert frames[0].img_right is not None
+
+    gt = ds.oxts_ground_truth(str(tmp_path / "gt.txt"))
+    assert len(gt) == 3
+    assert os.path.exists(tmp_path / "gt.txt")
