@@ -68,7 +68,8 @@ def main():
 
     ITERS = 10
     cfg = gn.SolverConfig(use_imu=True, max_iters=ITERS)
-    solve = jax.jit(lambda s, d, p: gn.solve(s, d, p, cfg))
+    from dynamic_vins_tpu.utils.precision import precise_jit
+    solve = precise_jit(lambda s, d, p: gn.solve(s, d, p, cfg))
 
     # warmup/compile
     st, dep, info = solve(state0, dep0, problem)

@@ -20,6 +20,7 @@ from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
+from dynamic_vins_tpu.utils.precision import precise_jit
 import jax.numpy as jnp
 import numpy as np
 
@@ -147,7 +148,7 @@ class Estimator:
         noise = self.noise
         scfg = self._solver_cfg
 
-        @jax.jit
+        @precise_jit
         def preint_edges(acc, gyr, dts, mask, ba, bg):
             def one(a, g, d, m, ba_, bg_):
                 return pre.preintegrate(a, g, d, ba_, bg_, noise=noise,
@@ -156,20 +157,20 @@ class Estimator:
 
         self._preint_edges = preint_edges
 
-        @jax.jit
+        @precise_jit
         def preint_one(acc, gyr, dts, mask, ba, bg):
             return pre.preintegrate(acc, gyr, dts, ba, bg, noise=noise,
                                     valid_mask=mask)
 
         self._preint_one = preint_one
 
-        @jax.jit
+        @precise_jit
         def set_edge(pres, e, one):
             return jax.tree.map(lambda f, o: f.at[e].set(o), pres, one)
 
         self._set_edge = set_edge
 
-        @jax.jit
+        @precise_jit
         def roll_edges(pres):
             def roll(a):
                 return jnp.concatenate([a[1:], a[-1:] * 0], axis=0)
@@ -177,20 +178,20 @@ class Estimator:
 
         self._roll_edges = roll_edges
 
-        @jax.jit
+        @precise_jit
         def solve(state, inv_depth, problem):
             return gn.solve(state, inv_depth, problem, scfg)
 
         self._solve = solve
 
-        @jax.jit
+        @precise_jit
         def solve_lines(state, inv_depth, problem, line_orth):
             return gn.solve(state, inv_depth, problem, scfg,
                             line_orth=line_orth)
 
         self._solve_lines = solve_lines
 
-        @jax.jit
+        @precise_jit
         def line_scores(state, line_orth, obs):
             from dynamic_vins_tpu.factors import line_factor
 
@@ -206,7 +207,7 @@ class Estimator:
 
         self._line_scores = line_scores
 
-        @jax.jit
+        @precise_jit
         def marg_old(state, inv_depth, problem, drop_lm):
             return marg.marginalize_old(state, inv_depth, problem,
                                         drop_lm, scfg)
@@ -214,10 +215,10 @@ class Estimator:
         self._marg_old = marg_old
 
         F = self.cfg.num_frames
-        self._marg_second = jax.jit(
+        self._marg_second = precise_jit(
             partial(marg.marginalize_second_new, num_frames=F))
 
-        @jax.jit
+        @precise_jit
         def outlier_scores(state, inv_depth, obs):
             from dynamic_vins_tpu.factors import projection
             r = projection.residual_only(state, inv_depth, obs,
@@ -231,7 +232,7 @@ class Estimator:
 
         self._outlier_scores = outlier_scores
 
-        @jax.jit
+        @precise_jit
         def triangulate_stereo(p_w, q_w, p_bc, q_bc, pt_l, pt_r):
             """Stereo triangulation at one frame; returns inv depth in
             the LEFT camera (feature_manager.cpp:244-268 semantics)."""
@@ -247,7 +248,7 @@ class Estimator:
 
         self._triangulate_stereo = triangulate_stereo
 
-        @jax.jit
+        @precise_jit
         def triangulate_two_frame(p_wi, q_wi, p_wj, q_wj, p_bc0, q_bc0,
                                   pt_i, pt_j):
             p_wci, q_wci = lie.pose_compose(p_wi, q_wi, p_bc0, q_bc0)
@@ -262,14 +263,14 @@ class Estimator:
 
         self._triangulate_two_frame = triangulate_two_frame
 
-        @jax.jit
+        @precise_jit
         def pnp(pts_w, pts_norm, valid, p_cw0, q_cw0):
             return triangulation.pnp_gauss_newton(pts_w, pts_norm, valid,
                                                   p_cw0, q_cw0)
 
         self._pnp = pnp
 
-        @jax.jit
+        @precise_jit
         def propagate_edge(p, q, v, ba, bg, acc, gyr, dts, mask):
             """IMU-propagate across one edge's padded buffer."""
             def step(carry, inp):
@@ -297,7 +298,7 @@ class Estimator:
             fixed_np[layout.td_col(F)] = True
         fixed_const = jnp.asarray(fixed_np)
 
-        @jax.jit
+        @precise_jit
         def prepare_frame(flat, pres, e, acc, gyr, dts, mask, k,
                           pnp_pack):
             """One-dispatch frame prep: refresh IMU edge e, propagate
@@ -349,7 +350,7 @@ class Estimator:
 
         self._prepare_frame = prepare_frame
 
-        @jax.jit
+        @precise_jit
         def triangulate_slots(flat, anchors, tri_f, stereo_ok, two_ok,
                               k):
             """Per-slot anchored triangulation, packed inputs:
@@ -405,7 +406,7 @@ class Estimator:
                                 imu_valid=imu_valid, prior=prior,
                                 lm_valid=lm_valid, fixed_cols=fixed)
 
-        @jax.jit
+        @precise_jit
         def solve_score(flat, inv_depth, obs_i, obs_f, obs_valid, pres,
                         imu_valid, prior, lm_valid):
             """BA solve + per-landmark outlier scores, packed I/O."""
@@ -428,7 +429,7 @@ class Estimator:
 
         self._solve_score = solve_score
 
-        @jax.jit
+        @precise_jit
         def marg_old_shifted(flat, inv_depth, obs_i, obs_f, obs_valid,
                              pres, imu_valid, prior, lm_valid, drop_lm,
                              pt0):
@@ -465,7 +466,7 @@ class Estimator:
         outlier_thresh = self.cfg.outlier_thresh
         F1, E_last = F - 1, F - 2
 
-        @jax.jit
+        @precise_jit
         def megastep(flat, pres, acc, gyr, dts, mask, pnp_pack,
                      anchors, tri_f, stereo_ok, two_ok, tri_req,
                      solvable_if_tri, oi, of, ov, lm_valid_base,
@@ -550,7 +551,7 @@ class Estimator:
         self._mega_isize = o
         self._mega_foff, self._mega_ioff = foff, ioff
 
-        @jax.jit
+        @precise_jit
         def megastep_packed(fblob, iblob, pres, prior):
             fs = lambda n: fblob[foff[n][0]:foff[n][1]]
             is_ = lambda n: iblob[ioff[n][0]:ioff[n][1]]

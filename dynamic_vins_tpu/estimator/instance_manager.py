@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 from typing import Dict, Optional
 
 import jax
+from dynamic_vins_tpu.utils.precision import precise_jit
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,7 +89,7 @@ class InstanceManager:
         self.det_valid = np.zeros((O, F), bool)
 
         self._tid_to_slot: Dict[int, int] = {}
-        self._solve = jax.jit(
+        self._solve = precise_jit(
             lambda s, l, p, a: solve_all(s, l, p, cfg.solver, a))
 
     # ------------------------------------------------------------------

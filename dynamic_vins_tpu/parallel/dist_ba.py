@@ -18,6 +18,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+from dynamic_vins_tpu.utils.precision import precise_jit
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -171,7 +172,7 @@ def make_distributed_solver(mesh: Mesh, problem_template: gn.BAProblem,
         out_specs=(state_spec, P(),
                    gn.SolveInfo(P(), P(), P(), P())),
         check_vma=False)
-    return jax.jit(mapped)
+    return precise_jit(mapped)
 
 
 def shard_problem(problem: gn.BAProblem, mesh: Mesh, axis: str = "lm"):

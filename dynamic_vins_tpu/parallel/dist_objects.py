@@ -15,6 +15,7 @@ re-sharded by the next call's in_specs (XLA inserts the all_to_all).
 from __future__ import annotations
 
 import jax
+from dynamic_vins_tpu.utils.precision import precise_jit
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -44,7 +45,7 @@ def make_distributed_object_solver(mesh: Mesh,
         in_specs=(state_specs, spec, prob_specs, spec),
         out_specs=(state_specs, spec, spec),
         check_vma=False)
-    return jax.jit(mapped)
+    return precise_jit(mapped)
 
 
 def shard_objects(mesh: Mesh, states, lms, probs, active,

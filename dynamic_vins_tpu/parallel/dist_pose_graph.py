@@ -9,6 +9,7 @@ replicated. Same pattern as dist_ba.
 from __future__ import annotations
 
 import jax
+from dynamic_vins_tpu.utils.precision import precise_jit
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -79,7 +80,7 @@ def make_distributed_pgo(mesh: Mesh, config: pg.PgoConfig,
         out_specs=(node_spec._replace(
             p=P(), q=P(), node_valid=P(), fixed=P()), P(), P()),
         check_vma=False)
-    return jax.jit(mapped)
+    return precise_jit(mapped)
 
 
 def shard_graph(graph: pg.PoseGraph, mesh: Mesh, axis: str = "edge"):
