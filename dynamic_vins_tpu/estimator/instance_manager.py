@@ -25,9 +25,9 @@ from dynamic_vins_tpu.utils.precision import precise_jit
 import jax.numpy as jnp
 import numpy as np
 
-from dynamic_vins_tpu.estimator import box_fit, triangulation
+from dynamic_vins_tpu.estimator import box_fit, host_math, triangulation
 from dynamic_vins_tpu.factors.object_factors import ObjectWindow
-from dynamic_vins_tpu.geometry import lie
+from dynamic_vins_tpu.geometry import lie, lie_np
 from dynamic_vins_tpu.solver.object_solver import (ObjectProblem,
                                                    ObjectSolverConfig,
                                                    solve_all)
@@ -91,6 +91,73 @@ class InstanceManager:
         self._tid_to_slot: Dict[int, int] = {}
         self._solve = precise_jit(
             lambda s, l, p, a: solve_all(s, l, p, cfg.solver, a))
+
+        # packed-blob solve: 2 uploads + 1 fetch per frame (remote-chip
+        # transfer latency, same treatment as the estimator megastep)
+        No, K = cfg.obs_per_object, cfg.extra_per_frame
+        fsec = [("obs_norm", O * No * 2), ("extra", O * F * K * 3),
+                ("dims_det", O * 3), ("q_det", O * F * 4),
+                ("lm", O * Lo * 3), ("times", F), ("p_cw", F * 2 * 3),
+                ("q_cw", F * 2 * 4), ("p", O * F * 3), ("q", O * F * 4),
+                ("v", O * 3), ("w", O * 3), ("dims", O * 3),
+                ("c_off", O * 3)]
+        isec = [("obs_frame", O * No), ("obs_cam", O * No),
+                ("obs_lm", O * No), ("obs_ok", O * No),
+                ("extra_valid", O * F * K), ("ddv", O),
+                ("det_valid", O * F), ("frame_valid", O * F),
+                ("lm_valid", O * Lo), ("active", O)]
+        foff, ioff = {}, {}
+        off = 0
+        for name, n in fsec:
+            foff[name] = (off, off + n)
+            off += n
+        self._ob_fsize = off
+        off = 0
+        for name, n in isec:
+            ioff[name] = (off, off + n)
+            off += n
+        self._ob_isize = off
+        self._ob_foff, self._ob_ioff = foff, ioff
+        dt = cfg.dtype
+
+        def _solve_packed_body(fblob, iblob):
+            fs = lambda n, *shape: fblob[foff[n][0]:foff[n][1]] \
+                .reshape(*shape).astype(dt)
+            is_ = lambda n, *shape: iblob[ioff[n][0]:ioff[n][1]] \
+                .reshape(*shape)
+            b = lambda n, *shape: is_(n, *shape).astype(bool)
+            tile = lambda a: jnp.broadcast_to(a[None], (O,) + a.shape)
+            lm = fs("lm", O, Lo, 3)
+            probs = ObjectProblem(
+                obs_frame=is_("obs_frame", O, No),
+                obs_cam=is_("obs_cam", O, No),
+                obs_lm=is_("obs_lm", O, No),
+                obs_norm=fs("obs_norm", O, No, 2),
+                obs_valid=b("obs_ok", O, No),
+                extra_pts=fs("extra", O, F, K, 3),
+                extra_valid=b("extra_valid", O, F, K),
+                dims_det=fs("dims_det", O, 3),
+                dims_det_valid=b("ddv", O),
+                q_det=fs("q_det", O, F, 4),
+                det_valid=b("det_valid", O, F),
+                frame_valid=b("frame_valid", O, F),
+                lm_valid=b("lm_valid", O, Lo),
+                lm_prior=lm,
+                times=tile(fs("times", F)),
+                p_cw=tile(fs("p_cw", F, 2, 3)),
+                q_cw=tile(fs("q_cw", F, 2, 4)))
+            states = ObjectWindow(
+                p=fs("p", O, F, 3), q=fs("q", O, F, 4), v=fs("v", O, 3),
+                w=fs("w", O, 3), dims=fs("dims", O, 3),
+                c_off=fs("c_off", O, 3))
+            st, lm2, cost = solve_all(states, lm, probs, cfg.solver,
+                                      b("active", O))
+            return jnp.concatenate([
+                st.p.ravel(), st.q.ravel(), st.v.ravel(),
+                st.w.ravel(), st.dims.ravel(), st.c_off.ravel(),
+                lm2.ravel(), cost.ravel()]).astype(fblob.dtype)
+
+        self._solve_packed = precise_jit(_solve_packed_body)
 
     # ------------------------------------------------------------------
     def slot_of(self, track_id: int) -> Optional[int]:
@@ -212,21 +279,18 @@ class InstanceManager:
             dt = float(times[frame] - times[k0])
             ev = self.extra_valid[s, frame]
             if ev.sum() >= 8:
-                c, cnt, _ = box_fit.fit_box_center(
-                    jnp.asarray(self.extra[s, frame]), jnp.asarray(ev),
-                    jnp.asarray(self.q[s, k0]), jnp.asarray(self.dims[s]))
-                center = np.asarray(c)
-                offset = np.asarray(lie.quat_rotate(
-                    jnp.asarray(self.q[s, k0]),
-                    jnp.asarray(self.c_off[s])))
+                center, cnt, _ = host_math.fit_box_center(
+                    self.extra[s, frame], ev, self.q[s, k0],
+                    self.dims[s])
+                offset = lie_np.quat_rotate(self.q[s, k0],
+                                            self.c_off[s])
                 self.p[s, frame] = center - offset
                 self.q[s, frame] = self.q[s, k0]
             else:
-                dq = np.asarray(lie.so3_exp_quat(
-                    jnp.asarray(self.w[s] * dt)))
+                dq = host_math.so3_exp_quat(self.w[s] * dt)
                 self.p[s, frame] = self.p[s, k0] + self.v[s] * dt
-                self.q[s, frame] = np.asarray(lie.quat_multiply(
-                    jnp.asarray(dq), jnp.asarray(self.q[s, k0])))
+                self.q[s, frame] = lie_np.quat_multiply(
+                    dq, self.q[s, k0])
 
     def initialize_instances(self, frame: int):
         """InitialInstance (estimator_insts.cpp:495): first pose from
@@ -240,12 +304,10 @@ class InstanceManager:
                 self.dims[s] = self.dims_det[s]
             q0 = self.q_det[s, frame] if self.det_valid[s, frame] \
                 else np.array([1.0, 0, 0, 0])
-            c, cnt, mask = box_fit.fit_box_center(
-                jnp.asarray(self.extra[s, frame]), jnp.asarray(ev),
-                jnp.asarray(q0), jnp.asarray(self.dims[s]))
+            c, cnt, mask = host_math.fit_box_center(
+                self.extra[s, frame], ev, q0, self.dims[s])
             if int(cnt) < 5:
-                c = box_fit.centroid(jnp.asarray(self.extra[s, frame]),
-                                     jnp.asarray(ev))
+                c = host_math.centroid(self.extra[s, frame], ev)
             self.p[s, :] = np.asarray(c)[None, :]
             self.q[s, :] = q0[None, :]
             self.c_off[s] = 0.0
@@ -301,29 +363,27 @@ class InstanceManager:
                 & self.obs_valid[s, frame, :, 1])
             if not li_new.size:
                 continue
-            p_wc0, q_wc0 = lie.pose_compose(
-                jnp.asarray(ego_p), jnp.asarray(ego_q),
-                jnp.asarray(p_bc), jnp.asarray(q_bc))
-            p_wc1, q_wc1 = lie.pose_compose(
-                jnp.asarray(ego_p), jnp.asarray(ego_q),
-                jnp.asarray(baseline_extr[0]),
-                jnp.asarray(baseline_extr[1]))
-            p_cw0, q_cw0 = lie.pose_inverse(p_wc0, q_wc0)
-            p_cw1, q_cw1 = lie.pose_inverse(p_wc1, q_wc1)
+            p_wc0, q_wc0 = lie_np.pose_compose(
+                np.asarray(ego_p), np.asarray(ego_q),
+                np.asarray(p_bc), np.asarray(q_bc))
+            p_wc1, q_wc1 = lie_np.pose_compose(
+                np.asarray(ego_p), np.asarray(ego_q),
+                np.asarray(baseline_extr[0]),
+                np.asarray(baseline_extr[1]))
+            p_cw0, q_cw0 = lie_np.pose_inverse(p_wc0, q_wc0)
+            p_cw1, q_cw1 = lie_np.pose_inverse(p_wc1, q_wc1)
             for li in li_new:
                 ptl = np.append(self.obs[s, frame, li, 0], 1.0)
                 ptr = np.append(self.obs[s, frame, li, 1], 1.0)
-                pw, d0 = triangulation.triangulate_dlt(
-                    p_cw0, q_cw0, p_cw1, q_cw1,
-                    jnp.asarray(ptl), jnp.asarray(ptr))
+                pw, d0 = host_math.triangulate_dlt(
+                    p_cw0, q_cw0, p_cw1, q_cw1, ptl, ptr)
                 if not np.isfinite(float(d0)) or float(d0) < 0.5 \
                         or float(d0) > 100.0:
                     continue
                 # world -> object frame at this frame
-                p_ow, q_ow = lie.pose_inverse(
-                    jnp.asarray(self.p[s, frame]),
-                    jnp.asarray(self.q[s, frame]))
-                po = np.asarray(lie.pose_transform_point(p_ow, q_ow, pw))
+                p_ow, q_ow = lie_np.pose_inverse(
+                    self.p[s, frame], self.q[s, frame])
+                po = lie_np.pose_transform_point(p_ow, q_ow, pw)
                 if np.abs(po).max() > 2.0 * self.dims[s].max():
                     continue   # box-based outlier cull
                 self.lm[s, li] = po
@@ -384,24 +444,84 @@ class InstanceManager:
 
     def optimize(self, times, ego_p_cw, ego_q_cw):
         """Vmapped BA over all active dynamic objects
-        (InstanceManager::Optimization, estimator_insts.cpp:772)."""
+        (InstanceManager::Optimization, estimator_insts.cpp:772) —
+        packed 2-blob transfer, one dispatch."""
         if not (self.active & self.initialized).any():
             return
+        cfg = self.cfg
+        O, F, Lo = cfg.max_objects, cfg.num_frames, cfg.lm_per_object
+        No = cfg.obs_per_object
         self._p_cw = np.asarray(ego_p_cw)
         self._q_cw = np.asarray(ego_q_cw)
-        states, lms, probs, active = self._build_problems(
-            times, ego_p_cw, ego_q_cw)
-        st, lm, cost = self._solve(states, lms, probs, active)
-        act = np.asarray(active)
-        cost_np = np.asarray(cost)
-        ok = act & np.isfinite(cost_np)
-        self.p[ok] = np.asarray(st.p)[ok]
-        self.q[ok] = np.asarray(st.q)[ok]
-        self.v[ok] = np.asarray(st.v)[ok]
-        self.w[ok] = np.asarray(st.w)[ok]
-        self.dims[ok] = np.asarray(st.dims)[ok]
-        self.c_off[ok] = np.asarray(st.c_off)[ok]
-        self.lm[ok] = np.asarray(lm)[ok]
+
+        # obs row tables (vectorized per object; O is small)
+        obs_frame = np.zeros((O, No), np.int32)
+        obs_cam = np.zeros((O, No), np.int32)
+        obs_lm = np.zeros((O, No), np.int32)
+        obs_norm = np.zeros((O, No, 2))
+        obs_ok = np.zeros((O, No), bool)
+        sel = self.obs_valid & self.lm_valid[:, None, :, None]
+        for s in np.flatnonzero(self.active & self.initialized):
+            rows = np.argwhere(sel[s])
+            n = min(len(rows), No)
+            if not n:
+                continue
+            f, li, c = rows[:n, 0], rows[:n, 1], rows[:n, 2]
+            obs_frame[s, :n] = f
+            obs_cam[s, :n] = c
+            obs_lm[s, :n] = li
+            obs_norm[s, :n] = self.obs[s, f, li, c]
+            obs_ok[s, :n] = True
+
+        blob_dt = np.float64 if jax.config.jax_enable_x64 \
+            else np.float32
+        fblob = np.zeros(self._ob_fsize, blob_dt)
+        iblob = np.zeros(self._ob_isize, np.int32)
+        fo, io = self._ob_foff, self._ob_ioff
+        put_f = lambda n, a: fblob.__setitem__(
+            slice(*fo[n]), np.asarray(a, blob_dt).ravel())
+        put_i = lambda n, a: iblob.__setitem__(
+            slice(*io[n]), np.asarray(a, np.int32).ravel())
+        put_f("obs_norm", obs_norm)
+        put_f("extra", self.extra)
+        put_f("dims_det", self.dims_det)
+        put_f("q_det", self.q_det)
+        put_f("lm", self.lm)
+        put_f("times", times)
+        put_f("p_cw", ego_p_cw)
+        put_f("q_cw", ego_q_cw)
+        put_f("p", self.p)
+        put_f("q", self.q)
+        put_f("v", self.v)
+        put_f("w", self.w)
+        put_f("dims", self.dims)
+        put_f("c_off", self.c_off)
+        put_i("obs_frame", obs_frame)
+        put_i("obs_cam", obs_cam)
+        put_i("obs_lm", obs_lm)
+        put_i("obs_ok", obs_ok)
+        put_i("extra_valid", self.extra_valid)
+        put_i("ddv", self.dims_det_valid)
+        put_i("det_valid", self.det_valid)
+        put_i("frame_valid", self.frame_valid)
+        put_i("lm_valid", self.lm_valid)
+        active = self.active & self.initialized & ~self.is_static
+        put_i("active", active)
+
+        out = np.array(self._solve_packed(jnp.asarray(fblob),
+                                          jnp.asarray(iblob)))
+        sizes = [O * F * 3, O * F * 4, O * 3, O * 3, O * 3, O * 3,
+                 O * Lo * 3, O]
+        parts = np.split(out, np.cumsum(sizes)[:-1])
+        p, q, v, w, dims, c_off, lm, cost = parts
+        ok = active & np.isfinite(cost)
+        self.p[ok] = p.reshape(O, F, 3)[ok]
+        self.q[ok] = q.reshape(O, F, 4)[ok]
+        self.v[ok] = v.reshape(O, 3)[ok]
+        self.w[ok] = w.reshape(O, 3)[ok]
+        self.dims[ok] = dims.reshape(O, 3)[ok]
+        self.c_off[ok] = c_off.reshape(O, 3)[ok]
+        self.lm[ok] = lm.reshape(O, Lo, 3)[ok]
 
     # ------------------------------------------------------------------
     def reject_outliers(self, thresh: float = 5.0 / 460.0):
