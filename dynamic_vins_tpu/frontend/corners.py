@@ -12,6 +12,8 @@ reference's sequential mask-painting loop, then top-K by response.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +42,8 @@ def shi_tomasi_response(img, block: int = 3):
     return 0.5 * (tr - det_term)
 
 
+@partial(jax.jit,
+         static_argnames=("max_corners", "min_dist", "border"))
 def detect(img, max_corners: int, min_dist: int = 16,
            quality: float = 0.01, exclude_pts=None, exclude_valid=None,
            border: int = 8):

@@ -68,6 +68,55 @@ class FeatureTracker:
         self._und_right = jax.jit(
             lambda uv: cam.normalized_from_pixel(self.intr_right, uv))
 
+        # ---- fused per-frame step: ONE dispatch + ONE packed fetch.
+        # On remote-attached chips each host<->device sync costs a
+        # tunnel round trip (~25-80 ms measured); the unfused tracker
+        # had 4-6 of them per frame.
+        tracker = self._tracker
+        intr_l, intr_r = self.intr_left, self.intr_right
+        mind, bord = config.min_dist, config.border
+
+        def _mask_at(mask, pts, H, W):
+            xi = jnp.clip(pts[:, 0].astype(jnp.int32), 0, W - 1)
+            yi = jnp.clip(pts[:, 1].astype(jnp.int32), 0, H - 1)
+            return mask[yi, xi]
+
+        def _fused(prev_img, img, img_r, pts, valid, mask, use_right):
+            H, W = img.shape
+            p1, ok = tracker(prev_img, img, pts, valid)
+            ok = ok & valid & _mask_at(mask, p1, H, W)
+            pts_a = jnp.where(ok[:, None], p1, pts)
+
+            cpts, cscore, cfound = corners.detect(
+                img, max_corners=N, min_dist=mind, exclude_pts=pts_a,
+                exclude_valid=ok, border=bord)
+            cfound = cfound & _mask_at(mask, cpts, H, W)
+            # greedy slot assignment: found corners are a score-sorted
+            # prefix; free slots (invalid-first) take them in order
+            free = jnp.argsort(ok, stable=True)          # invalid first
+            num_free = N - jnp.sum(ok)
+            take = (jnp.arange(N) < num_free) & cfound
+            pts_b = pts_a.at[free].set(
+                jnp.where(take[:, None], cpts, pts_a[free]))
+            newly = jnp.zeros(N, bool).at[free].set(take)
+            valid_b = ok | newly
+
+            und = cam.normalized_from_pixel(intr_l, pts_b)
+            if use_right:
+                pr, okr = tracker(img, img_r, pts_b, valid_b)
+                und_r = cam.normalized_from_pixel(intr_r, pr)
+            else:
+                pr = pts_b
+                okr = jnp.zeros(N, bool)
+                und_r = und
+            f = lambda a: a.astype(jnp.float32).ravel()
+            return jnp.concatenate([
+                f(pts_b), f(und), f(und_r), f(ok), f(newly), f(okr)])
+
+        self._fused = {
+            True: jax.jit(lambda *a: _fused(*a, True)),
+            False: jax.jit(lambda *a: _fused(*a, False))}
+
     def track(self, img, timestamp: float, mask=None,
               img_right=None) -> FrameFeatures:
         """Process one (grayscale float [H,W]) frame; returns features.
@@ -77,45 +126,36 @@ class FeatureTracker:
         cfg = self.cfg
         N = cfg.max_cnt
         img = jnp.asarray(img, cfg.dtype)
+        H, W = img.shape
 
-        # 1. LK track previous -> current
-        if self.prev_img is not None and self.valid.any():
-            pts1, ok = self._tracker(self.prev_img, img,
-                                     jnp.asarray(self.pts, cfg.dtype),
-                                     jnp.asarray(self.valid))
-            pts1 = np.array(pts1)
-            ok = np.array(ok) & self.valid
-            if mask is not None:
-                ok &= self._mask_ok(mask, pts1)
-            self.pts = np.where(ok[:, None], pts1, self.pts)
-            self.valid = ok
-            self.track_cnt = np.where(ok, self.track_cnt + 1, 0)
-        else:
-            self.valid[:] = False
+        use_right = bool(cfg.stereo and img_right is not None)
+        img_r = jnp.asarray(img_right, cfg.dtype) if use_right else img
+        mask_dev = jnp.ones((H, W), bool) if mask is None \
+            else jnp.asarray(mask)
+        prev = self.prev_img if self.prev_img is not None else img
+        valid_in = self.valid if self.prev_img is not None \
+            else np.zeros(N, bool)
 
-        # 2. top-up with new corners (outside mask + existing features)
-        n_alive = int(self.valid.sum())
-        need = N - n_alive
-        if need > 0:
-            excl_pts = jnp.asarray(self.pts, cfg.dtype)
-            excl_valid = jnp.asarray(self.valid)
-            new_pts, _, found = corners.detect(
-                img, max_corners=N, min_dist=cfg.min_dist,
-                exclude_pts=excl_pts, exclude_valid=excl_valid,
-                border=cfg.border)
-            new_pts = np.asarray(new_pts)
-            found = np.array(found)
-            if mask is not None:
-                found &= self._mask_ok(mask, new_pts)
-            free = np.flatnonzero(~self.valid)
-            cand = np.flatnonzero(found)[:free.size]
-            slots = free[:cand.size]
-            self.pts[slots] = new_pts[cand]
-            self.ids[slots] = np.arange(self._next_id,
-                                        self._next_id + cand.size)
-            self._next_id += cand.size
-            self.track_cnt[slots] = 1
-            self.valid[slots] = True
+        out = np.array(self._fused[use_right](
+            prev, img, img_r, jnp.asarray(self.pts, cfg.dtype),
+            jnp.asarray(valid_in), mask_dev))
+        pts_b, und, und_r, okf, newf, okrf = np.split(
+            out, np.cumsum([2 * N, 2 * N, 2 * N, N, N]))
+        self.pts = pts_b.reshape(N, 2).astype(np.float32)
+        und = und.reshape(N, 2)
+        und_r = und_r.reshape(N, 2)
+        tracked = okf > 0.5
+        newly = newf > 0.5
+        ok_r = (okrf > 0.5)
+
+        # host bookkeeping: track counts + ids for new slots
+        self.track_cnt = np.where(tracked, self.track_cnt + 1, 0)
+        slots = np.flatnonzero(newly)
+        self.ids[slots] = np.arange(self._next_id,
+                                    self._next_id + slots.size)
+        self._next_id += slots.size
+        self.track_cnt[slots] = 1
+        self.valid = tracked | newly
 
         # 2b. epipolar outlier rejection (FeatureTracker::rejectWithF)
         if cfg.use_ransac_f and self.prev_und is not None \
@@ -124,10 +164,8 @@ class FeatureTracker:
                 import cv2
 
                 sel = np.flatnonzero(self.valid & (self.track_cnt > 1))
-                cur_und = np.asarray(self._und_left(
-                    jnp.asarray(self.pts, cfg.dtype)))
                 p_prev = self.prev_und[sel] * cfg.focal
-                p_cur = cur_und[sel] * cfg.focal
+                p_cur = und[sel] * cfg.focal
                 _, inl = cv2.findFundamentalMat(
                     p_prev, p_cur, cv2.FM_RANSAC,
                     cfg.f_threshold_px, 0.99)
@@ -137,27 +175,17 @@ class FeatureTracker:
             except Exception:
                 pass
 
-        # 3. undistort + velocity
-        und = np.asarray(self._und_left(jnp.asarray(self.pts,
-                                                    cfg.dtype)))
+        # 3. velocity (und computed above)
         dt = (timestamp - self.prev_time) if self.prev_time else 1.0
         dt = max(dt, 1e-3)
         vel = np.zeros_like(und)
         cont = self.valid & (self.track_cnt > 1)
         vel[cont] = (und[cont] - self.prev_und[cont]) / dt
 
-        # 4. stereo: left -> right LK
+        # 4. stereo obs (computed in the fused step)
         right = {}
-        if cfg.stereo and img_right is not None and self.valid.any():
-            img_r = jnp.asarray(img_right, cfg.dtype)
-            pts_r, ok_r = self._tracker(img, img_r,
-                                        jnp.asarray(self.pts, cfg.dtype),
-                                        jnp.asarray(self.valid))
-            pts_r = np.asarray(pts_r)
-            ok_r = np.asarray(ok_r) & self.valid
-            und_r = np.asarray(self._und_right(jnp.asarray(pts_r,
-                                                           cfg.dtype)))
-            for i in np.flatnonzero(ok_r):
+        if use_right:
+            for i in np.flatnonzero(ok_r & self.valid):
                 right[i] = und_r[i]
 
         feats = {}
