@@ -48,6 +48,7 @@ class EstimatorConfig:
     outlier_thresh: float = 3.0 / 460.0   # reproj err, normalized plane
     max_depth: float = 200.0
     use_megastep: bool = True       # steady-state single-dispatch frame
+    use_plane_constraint: bool = False   # planar-motion mode ('use_plane')
     dynamic: bool = False           # per-object estimation (slam: dynamic)
     use_line: bool = False          # LinePoint mode (PL-VINS capability)
     line_capacity: int = 64
@@ -296,6 +297,8 @@ class Estimator:
             fixed_np[layout.extrinsic_col(0, F):layout.td_col(F)] = True
         if not self.cfg.estimate_td:
             fixed_np[layout.td_col(F)] = True
+        if self.cfg.use_plane_constraint:
+            fixed_np |= layout.plane_constraint_cols(F)
         fixed_const = jnp.asarray(fixed_np)
 
         @precise_jit
@@ -1133,6 +1136,8 @@ class Estimator:
                   layout.td_col(cfg.num_frames)] = True
         if not cfg.estimate_td:
             fixed[layout.td_col(cfg.num_frames)] = True
+        if cfg.use_plane_constraint:
+            fixed |= layout.plane_constraint_cols(cfg.num_frames)
         if not bool(self.prior.valid) and not cfg.use_imu:
             fixed[layout.pose_col(0):layout.pose_col(0) + 6] = True
         return gn.BAProblem(

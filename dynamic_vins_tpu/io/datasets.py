@@ -195,6 +195,98 @@ def viode_instance_masks(seg_rgb, dynamic_rgb=None, min_area: int = 100):
 
 
 @dataclass
+class ViodeDataset:
+    """VIODE (extracted-from-rosbag layout): `<root>/{cam0,cam1}/data/
+    *.png`, RGB segmentation in `<root>/segmentation/data/*.png` (or
+    seg0), IMU in `<root>/imu0/data.csv` (EuRoC csv schema). The
+    reference consumes the same streams as ROS topics
+    (`system_call_back.cpp:18-37` img0/img1/seg0 subscriptions); here
+    they are file iterators. Frame timestamps come from the
+    nanosecond filenames."""
+
+    root: str
+
+    def _dir(self, *cands):
+        for c in cands:
+            for base in (self.root, os.path.join(self.root, "mav0")):
+                d = os.path.join(base, c, "data")
+                if os.path.isdir(d):
+                    return d
+        return None
+
+    def imu(self):
+        for base in (self.root, os.path.join(self.root, "mav0")):
+            path = os.path.join(base, "imu0", "data.csv")
+            if os.path.exists(path):
+                return _read_euroc_imu(path)
+        return []
+
+    def frames(self) -> Iterator[StereoFrame]:
+        ldir = self._dir("cam0")
+        rdir = self._dir("cam1")
+        sdir = self._dir("segmentation", "seg0")
+        if ldir is None:
+            return
+        for pl in sorted(glob.glob(os.path.join(ldir, "*.png"))):
+            name = os.path.basename(pl)
+            try:
+                t = float(os.path.splitext(name)[0]) * 1e-9
+            except ValueError:
+                t = None
+            il = cv2.imread(pl, cv2.IMREAD_GRAYSCALE)
+            if il is None:
+                continue
+            ir = seg = None
+            if rdir:
+                pr = os.path.join(rdir, name)
+                if os.path.exists(pr):
+                    ir = cv2.imread(pr, cv2.IMREAD_GRAYSCALE)
+            if sdir:
+                ps = os.path.join(sdir, name)
+                if os.path.exists(ps):
+                    bgr = cv2.imread(ps, cv2.IMREAD_COLOR)
+                    if bgr is not None:
+                        seg = bgr[..., ::-1]       # -> RGB
+            yield StereoFrame(
+                t if t is not None else 0.0, il.astype(np.float32),
+                None if ir is None else ir.astype(np.float32),
+                seg_left=seg)
+
+    def ground_truth(self):
+        """odometry/data.csv (VIODE ships GT odometry in the bags;
+        viode_generate_odometry parity) -> [(t, p[3], q_wxyz[4])]."""
+        for base in (self.root, os.path.join(self.root, "mav0")):
+            for name in ("odometry", "state_groundtruth_estimate0"):
+                path = os.path.join(base, name, "data.csv")
+                if not os.path.exists(path):
+                    continue
+                out = []
+                with open(path) as f:
+                    for row in csv.reader(f):
+                        if not row or row[0].startswith("#"):
+                            continue
+                        vals = [float(v) for v in row]
+                        out.append((vals[0] * 1e-9,
+                                    np.array(vals[1:4]),
+                                    np.array(vals[4:8])))
+                return out
+        return []
+
+
+def _read_euroc_imu(path: str):
+    out = []
+    with open(path) as f:
+        for row in csv.reader(f):
+            if not row or row[0].startswith("#"):
+                continue
+            t = float(row[0]) * 1e-9
+            g = np.array([float(row[1]), float(row[2]), float(row[3])])
+            a = np.array([float(row[4]), float(row[5]), float(row[6])])
+            out.append(ImuSample(t, g, a))
+    return out
+
+
+@dataclass
 class KittiRawDataset:
     """KITTI *raw* layout (kitti_pub package parity: publishes raw
     images + OXTS as topics, `kitti_pub/src/*`): drive_dir contains

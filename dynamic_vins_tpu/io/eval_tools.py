@@ -260,6 +260,187 @@ def evaluate_mot_files(gt_path: str, est_path: str, **kw) -> MotMetrics:
                      **kw)
 
 
+# ---------------------------------------------------------------------------
+# KITTI object-detection AP (devkit_object/cpp/evaluate_object.cpp
+# measures: 2D / BEV / 3D AP with easy/moderate/hard difficulty bins
+# and 40-recall-point interpolation)
+# ---------------------------------------------------------------------------
+
+# (min bbox height px, max occlusion, max truncation) per difficulty,
+# evaluate_object.cpp MIN_HEIGHT/MAX_OCCLUSION/MAX_TRUNCATION tables
+DIFFICULTY = {
+    "easy": (40.0, 0, 0.15),
+    "moderate": (25.0, 1, 0.30),
+    "hard": (25.0, 2, 0.50),
+}
+
+
+def _box_bev_corners(x, z, l, w, ry):
+    """4 BEV corners [4,2] of a yaw box in the camera x-z ground plane."""
+    c, s = math.cos(ry), math.sin(ry)
+    dx = np.array([l, l, -l, -l]) / 2.0
+    dz = np.array([w, -w, -w, w]) / 2.0
+    return np.stack([x + c * dx + s * dz, z - s * dx + c * dz], axis=1)
+
+
+def _polygon_area(poly):
+    x, y = poly[:, 0], poly[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def _clip_polygon(subject, clip):
+    """Sutherland–Hodgman intersection of two convex polygons."""
+    out = list(subject)
+    n = len(clip)
+    for i in range(n):
+        a, b = clip[i], clip[(i + 1) % n]
+        edge = (b[0] - a[0], b[1] - a[1])
+        inside = lambda p: (edge[0] * (p[1] - a[1])
+                            - edge[1] * (p[0] - a[0])) <= 1e-12
+        inp, out = out, []
+        if not inp:
+            break
+        s = inp[-1]
+        for p in inp:
+            if inside(p):
+                if not inside(s):
+                    out.append(_seg_isect(s, p, a, b))
+                out.append(tuple(p))
+            elif inside(s):
+                out.append(_seg_isect(s, p, a, b))
+            s = p
+    return np.array(out) if out else np.zeros((0, 2))
+
+
+def _seg_isect(p1, p2, a, b):
+    d1 = (p2[0] - p1[0], p2[1] - p1[1])
+    d2 = (b[0] - a[0], b[1] - a[1])
+    den = d1[0] * d2[1] - d1[1] * d2[0]
+    t = ((a[0] - p1[0]) * d2[1] - (a[1] - p1[1]) * d2[0]) / (
+        den if abs(den) > 1e-12 else 1e-12)
+    return (p1[0] + t * d1[0], p1[1] + t * d1[1])
+
+
+def iou_bev(ga: dict, gb: dict) -> float:
+    """Rotated-rectangle IoU in the ground (bird's-eye) plane."""
+    ha, wa, la = ga["hwl"]
+    hb, wb, lb = gb["hwl"]
+    pa = _box_bev_corners(ga["xyz"][0], ga["xyz"][2], la, wa, ga["ry"])
+    pb = _box_bev_corners(gb["xyz"][0], gb["xyz"][2], lb, wb, gb["ry"])
+    inter_poly = _clip_polygon(pa, pb)
+    if inter_poly.shape[0] < 3:
+        return 0.0
+    inter = _polygon_area(inter_poly)
+    union = la * wa + lb * wb - inter
+    return inter / union if union > 0 else 0.0
+
+
+def iou_3d(ga: dict, gb: dict) -> float:
+    """3D IoU: BEV intersection x vertical overlap (KITTI convention:
+    y is down, xyz is the bottom center)."""
+    ha, wa, la = ga["hwl"]
+    hb, wb, lb = gb["hwl"]
+    pa = _box_bev_corners(ga["xyz"][0], ga["xyz"][2], la, wa, ga["ry"])
+    pb = _box_bev_corners(gb["xyz"][0], gb["xyz"][2], lb, wb, gb["ry"])
+    inter_poly = _clip_polygon(pa, pb)
+    if inter_poly.shape[0] < 3:
+        return 0.0
+    inter_bev = _polygon_area(inter_poly)
+    ya1, ya0 = ga["xyz"][1], ga["xyz"][1] - ha
+    yb1, yb0 = gb["xyz"][1], gb["xyz"][1] - hb
+    h_ov = max(0.0, min(ya1, yb1) - max(ya0, yb0))
+    inter = inter_bev * h_ov
+    union = la * wa * ha + lb * wb * hb - inter
+    return inter / union if union > 0 else 0.0
+
+
+@dataclass
+class DetMetrics:
+    ap: float                 # 40-point interpolated AP
+    precision: List[float]    # at the 40 recall samples
+    recall_points: List[float]
+    n_gt: int
+    n_det: int
+
+
+def eval_object_detection(gt_rows: List[dict], est_rows: List[dict],
+                          cls: str = "Car", metric: str = "2d",
+                          difficulty: str = "moderate",
+                          iou_thresh: float = 0.7,
+                          n_recall: int = 40) -> DetMetrics:
+    """KITTI object AP (devkit_object evaluate_object.cpp semantics):
+    per-frame greedy score-ordered matching at `iou_thresh`, gt boxes
+    outside the difficulty bin are "ignored" (neither tp nor fn),
+    AP = mean precision over `n_recall` equally spaced recall points.
+    metric: '2d' (image bbox IoU) | 'bev' | '3d'.
+    """
+    min_h, max_occ, max_trunc = DIFFICULTY[difficulty]
+    iou_fn = {"2d": lambda a, b: _iou2d(a["bbox"], b["bbox"]),
+              "bev": iou_bev, "3d": iou_3d}[metric]
+
+    gt_by_f: Dict[int, List[dict]] = {}
+    for r in gt_rows:
+        if r["cls"] == cls or r["cls"] == "DontCare":
+            gt_by_f.setdefault(r["frame"], []).append(r)
+    dets = sorted((r for r in est_rows if r["cls"] == cls),
+                  key=lambda r: -r["score"])
+
+    def bin_of(g):
+        """0 = counted, 1 = ignored (wrong difficulty / DontCare)."""
+        if g["cls"] == "DontCare":
+            return 1
+        h = g["bbox"][3] - g["bbox"][1]
+        if h < min_h or g["occ"] > max_occ or g["trunc"] > max_trunc:
+            return 1
+        return 0
+
+    n_gt = sum(1 for rows in gt_by_f.values() for g in rows
+               if bin_of(g) == 0)
+    matched: Dict[int, set] = {}
+    tp_flags, ignore_flags = [], []
+    for det in dets:
+        f = det["frame"]
+        cands = gt_by_f.get(f, [])
+        used = matched.setdefault(f, set())
+        best, best_iou = -1, iou_thresh
+        for i, g in enumerate(cands):
+            if i in used:
+                continue
+            iou = iou_fn(g, det)
+            if iou >= best_iou:
+                best, best_iou = i, iou
+        if best >= 0:
+            used.add(best)
+            ign = bin_of(cands[best]) == 1
+            tp_flags.append(not ign)
+            ignore_flags.append(ign)
+        else:
+            tp_flags.append(False)
+            ignore_flags.append(False)
+
+    tp_flags = np.array(tp_flags, bool)
+    ignore_flags = np.array(ignore_flags, bool)
+    keep = ~ignore_flags                     # ignored matches drop out
+    tp = np.cumsum(tp_flags[keep].astype(int))
+    fp = np.cumsum((~tp_flags[keep]).astype(int))
+    recall = tp / max(n_gt, 1)
+    precision = tp / np.maximum(tp + fp, 1)
+    # monotone precision envelope, then sample n_recall points
+    for i in range(len(precision) - 2, -1, -1):
+        precision[i] = max(precision[i], precision[i + 1])
+    r_pts = np.linspace(1.0 / n_recall, 1.0, n_recall)
+    p_pts = [float(precision[recall >= r][0]) if np.any(recall >= r)
+             else 0.0 for r in r_pts]
+    return DetMetrics(float(np.mean(p_pts)), p_pts, list(r_pts),
+                      n_gt, int(keep.sum()))
+
+
+def evaluate_object_files(gt_path: str, est_path: str,
+                          **kw) -> DetMetrics:
+    return eval_object_detection(read_mot_file(gt_path),
+                                 read_mot_file(est_path), **kw)
+
+
 def main(argv=None):
     import argparse
     import json
@@ -282,6 +463,14 @@ def main(argv=None):
     p.add_argument("gt")
     p.add_argument("est")
     p.add_argument("--use-3d", action="store_true")
+    p = sub.add_parser("eval_object")
+    p.add_argument("gt")
+    p.add_argument("est")
+    p.add_argument("--cls", default="Car")
+    p.add_argument("--metric", default="2d", choices=("2d", "bev", "3d"))
+    p.add_argument("--difficulty", default="moderate",
+                   choices=tuple(DIFFICULTY))
+    p.add_argument("--iou", type=float, default=0.7)
     a = ap.parse_args(argv)
     if a.cmd == "save_oxts":
         print(save_oxts_tum(a.oxts_dir, a.out), "poses written")
@@ -294,6 +483,13 @@ def main(argv=None):
     elif a.cmd == "eval_mot":
         m = evaluate_mot_files(a.gt, a.est, use_3d=a.use_3d)
         print(json.dumps(m.as_dict()))
+    elif a.cmd == "eval_object":
+        m = evaluate_object_files(a.gt, a.est, cls=a.cls,
+                                  metric=a.metric,
+                                  difficulty=a.difficulty,
+                                  iou_thresh=a.iou)
+        print(json.dumps({"ap": m.ap, "n_gt": m.n_gt,
+                          "n_det": m.n_det}))
 
 
 if __name__ == "__main__":

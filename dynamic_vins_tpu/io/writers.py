@@ -87,3 +87,50 @@ def read_tum(path: str):
     q_xyzw = data[:, 4:8]
     q_wxyz = np.concatenate([q_xyzw[:, 3:4], q_xyzw[:, 0:3]], axis=1)
     return t, p, q_wxyz
+
+
+def write_pcd(path: str, points: np.ndarray, colors=None):
+    """ASCII PCD v0.7 writer (instance point-cloud dumps,
+    `SaveInstancesPointCloud` utils/io/output.cpp — the reference uses
+    pcl::io::savePCDFile; same on-disk format, no PCL needed).
+
+    points: [N,3]; colors: optional [N,3] uint8 RGB."""
+    points = np.asarray(points, np.float32).reshape(-1, 3)
+    n = points.shape[0]
+    with open(path, "w") as f:
+        f.write("# .PCD v0.7 - Point Cloud Data file format\n"
+                "VERSION 0.7\n")
+        if colors is None:
+            f.write("FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+                    "COUNT 1 1 1\n")
+        else:
+            f.write("FIELDS x y z rgb\nSIZE 4 4 4 4\nTYPE F F F U\n"
+                    "COUNT 1 1 1 1\n")
+        f.write(f"WIDTH {n}\nHEIGHT 1\n"
+                "VIEWPOINT 0 0 0 1 0 0 0\n"
+                f"POINTS {n}\nDATA ascii\n")
+        if colors is None:
+            for p in points:
+                f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+        else:
+            colors = np.asarray(colors, np.uint32).reshape(-1, 3)
+            for p, c in zip(points, colors):
+                rgb = (int(c[0]) << 16) | (int(c[1]) << 8) | int(c[2])
+                f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {rgb}\n")
+
+
+def read_pcd(path: str):
+    """Read an ASCII PCD written by `write_pcd` -> [N,3] float array."""
+    pts = []
+    with open(path) as f:
+        in_data = False
+        for line in f:
+            if in_data:
+                vals = line.split()
+                if len(vals) >= 3:
+                    pts.append([float(v) for v in vals[:3]])
+            elif line.startswith("DATA"):
+                if "ascii" not in line:
+                    raise ValueError("only ascii PCD supported")
+                in_data = True
+    return np.asarray(pts, np.float32).reshape(-1, 3)

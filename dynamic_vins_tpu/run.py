@@ -155,6 +155,76 @@ def run_euroc(args):
     return 0
 
 
+def run_viode(args):
+    """VIODE (naive dynamic mode: mask-gated rejection, the reference's
+    primary VIODE configuration, config/viode/viode.yaml)."""
+    from dynamic_vins_tpu.io.datasets import (ViodeDataset,
+                                              viode_dynamic_mask)
+    from dynamic_vins_tpu.io.evaluation import ate_rmse
+    from dynamic_vins_tpu.system import FrameInput, System
+    from dynamic_vins_tpu.utils.config import (DatasetType, SlamMode,
+                                               VioConfig)
+
+    if args.config:
+        cfg = VioConfig.from_yaml(args.config, args.seq)
+    else:
+        cfg = VioConfig()
+        cfg.dataset = DatasetType.VIODE
+        cfg.slam = SlamMode(args.slam if args.slam != "raw" else "naive")
+        # VIODE calib (config/viode/{viode,cam0_pinhole}.yaml values)
+        cfg.intrinsics_left = [376.0, 376.0, 376.0, 240.0]
+        cfg.intrinsics_right = [376.0, 376.0, 376.0, 240.0]
+        cfg.body_T_cam0 = [0, 0, 1, 0, 1, 0, 0, 0, 0, 1, 0, 0,
+                           0, 0, 0, 1]
+        cfg.body_T_cam1 = [0, 0, 1, 0, 1, 0, 0, 0.05, 0, 1, 0, 0,
+                           0, 0, 0, 1]
+
+    ds = ViodeDataset(args.root)
+    imu = ds.imu()
+    imu_t = np.array([s.t for s in imu])
+    imu_acc = np.stack([s.acc for s in imu]) if imu else np.zeros((0, 3))
+    imu_gyr = np.stack([s.gyr for s in imu]) if imu else np.zeros((0, 3))
+    if not imu:
+        cfg.use_imu = False
+
+    sysm = System(cfg, output_prefix=args.output)
+    prev_t = None
+    count = 0
+    t0 = time.perf_counter()
+    for fr in ds.frames():
+        if args.max_frames and count >= args.max_frames:
+            break
+        interval = None
+        if cfg.use_imu and prev_t is not None:
+            lo = np.searchsorted(imu_t, prev_t)
+            hi = np.searchsorted(imu_t, fr.t)
+            if hi - lo >= 1:
+                interval = (imu_acc[lo:hi + 1], imu_gyr[lo:hi + 1],
+                            np.diff(imu_t[lo:hi + 1]))
+        dyn_mask = viode_dynamic_mask(fr.seg_left) \
+            if fr.seg_left is not None else None
+        sysm.process(FrameInput(fr.t, fr.img_left, fr.img_right,
+                                imu=interval, dynamic_mask=dyn_mask))
+        prev_t = fr.t
+        count += 1
+    wall = time.perf_counter() - t0
+    summary = sysm.close()
+    print(f"frames={count} fps={count / max(wall, 1e-9):.2f} "
+          f"stages={summary}")
+    try:
+        gt = ds.ground_truth()
+        from dynamic_vins_tpu.io.writers import read_tum
+
+        t_est, p_est, _ = read_tum(args.output + "_ego_tum.txt")
+        t_gt = np.array([g[0] for g in gt])
+        p_gt = np.stack([g[1] for g in gt])
+        ate = ate_rmse(t_est, p_est, t_gt, p_gt, align=True)
+        print(f"ATE RMSE vs ground truth: {ate:.4f} m")
+    except Exception as e:
+        print(f"(no ground truth evaluation: {e})")
+    return 0
+
+
 def run_kitti(args):
     """KITTI tracking with offline perception artifacts (the reference's
     dominant configuration: SOLOv2 .pt seg + FCOS3D txt + LEAStereo
@@ -219,7 +289,7 @@ def main(argv=None):
     ap.add_argument("--config", default=None)
     ap.add_argument("--seq", default="")
     ap.add_argument("--dataset", default="synthetic",
-                    choices=["synthetic", "euroc", "kitti"])
+                    choices=["synthetic", "euroc", "kitti", "viode"])
     ap.add_argument("--root", default=None)
     ap.add_argument("--left", default=None)
     ap.add_argument("--right", default=None)
@@ -242,6 +312,10 @@ def main(argv=None):
         return run_synthetic(args)
     if args.dataset == "euroc":
         return run_euroc(args)
+    if args.dataset == "viode":
+        if not args.root:
+            raise SystemExit("viode requires --root (extracted bag dir)")
+        return run_viode(args)
     if args.dataset == "kitti":
         if not args.left:
             raise SystemExit("kitti requires --left (and optionally "

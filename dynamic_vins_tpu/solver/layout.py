@@ -47,6 +47,29 @@ def td_col(num_frames: int = NUM_FRAMES):
     return 15 * num_frames + 12
 
 
+def plane_constraint_cols(num_frames: int = NUM_FRAMES,
+                          constrain_speed: bool = True):
+    """Tangent dims fixed under the planar-motion constraint.
+
+    Capability parity with the reference's constrained local
+    parameterizations (`factor/pose_local_parameterization.h:38`
+    PoseConstraintLocalParameterization: zero z / roll / pitch updates;
+    `:50` SpeedConstraintLocalParameterization: zero vz). Returns a
+    bool [cam_dim] mask to OR into `BAProblem.fixed_cols`.
+    """
+    import numpy as np
+
+    fixed = np.zeros(cam_dim(num_frames), bool)
+    for k in range(num_frames):
+        c = pose_col(k)
+        fixed[c + 2] = True          # dp_z (world)
+        fixed[c + 3] = True          # dtheta_x (roll, body tangent)
+        fixed[c + 4] = True          # dtheta_y (pitch)
+        if constrain_speed:
+            fixed[speedbias_col(k, num_frames) + 2] = True   # dv_z
+    return fixed
+
+
 class WindowState(NamedTuple):
     """Full camera-side state of the sliding window (one pytree)."""
 

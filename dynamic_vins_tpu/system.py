@@ -80,6 +80,7 @@ class System:
                             max_iters=cfg.max_solver_iterations,
                             estimate_extrinsic=cfg.estimate_extrinsic,
                             estimate_td=cfg.estimate_td,
+                            use_plane_constraint=cfg.use_plane_constraint,
                             dynamic=cfg.slam == SlamMode.DYNAMIC),
             p_bc, q_bc)
 

@@ -45,6 +45,7 @@ class VioConfig:
     use_line: bool = False                         # 'use_line'
     use_det3d: bool = False                        # 'use_det3d'
     use_dst: bool = False                          # MOT-only mode
+    use_plane_constraint: bool = False             # 'use_plane'
     basic_dir: str = "output"                      # 'basic_dir'
 
     # frontend (front_end_parameters.h)
@@ -115,6 +116,7 @@ class VioConfig:
             "use_line": ("use_line", lambda v: bool(int(v))),
             "use_det3d": ("use_det3d", lambda v: bool(int(v))),
             "use_dst": ("use_dst", lambda v: bool(int(v))),
+            "use_plane": ("use_plane_constraint", lambda v: bool(int(v))),
             "max_cnt": ("max_cnt", int),
             "max_dynamic_cnt": ("max_dynamic_cnt", int),
             "min_dist": ("min_dist", int),

@@ -96,3 +96,76 @@ def test_eval_tools_cli(tmp_path, capsys):
     et.main(["eval_mot", str(mot), str(mot)])
     out = capsys.readouterr().out
     assert '"mota": 1.0' in out
+
+
+# ---------------------------------------------------------------------------
+# object-detection AP (devkit_object parity)
+# ---------------------------------------------------------------------------
+
+def _row(frame, tid, cls="Car", bbox=(100, 100, 200, 180), hwl=(1.5, 1.7, 4.0),
+         xyz=(0.0, 1.5, 10.0), ry=0.0, score=0.9, occ=0, trunc=0.0):
+    return dict(frame=frame, tid=tid, cls=cls, trunc=trunc, occ=occ,
+                alpha=0.0, bbox=list(bbox), hwl=list(hwl),
+                xyz=list(xyz), ry=ry, score=score, line="")
+
+
+def test_iou_bev_identity_and_disjoint():
+    from dynamic_vins_tpu.io.eval_tools import iou_bev, iou_3d
+
+    a = _row(0, 0)
+    assert abs(iou_bev(a, a) - 1.0) < 1e-9
+    assert abs(iou_3d(a, a) - 1.0) < 1e-9
+    b = _row(0, 1, xyz=(50.0, 1.5, 10.0))
+    assert iou_bev(a, b) == 0.0
+    assert iou_3d(a, b) == 0.0
+
+
+def test_iou_bev_rotated_overlap():
+    from dynamic_vins_tpu.io.eval_tools import iou_bev
+    import math as m
+
+    # square boxes (w == l) rotated 90 deg coincide exactly
+    a = _row(0, 0, hwl=(1.5, 2.0, 2.0))
+    b = _row(0, 1, hwl=(1.5, 2.0, 2.0), ry=m.pi / 2)
+    assert abs(iou_bev(a, b) - 1.0) < 1e-6
+    # half-shifted boxes: IoU = 1/3
+    c = _row(0, 2, hwl=(1.5, 2.0, 2.0), xyz=(1.0, 1.5, 10.0))
+    assert abs(iou_bev(a, c) - 1.0 / 3.0) < 1e-6
+
+
+def test_object_detection_ap_perfect_and_missed():
+    from dynamic_vins_tpu.io.eval_tools import eval_object_detection
+
+    gt = [_row(f, f) for f in range(10)]
+    # perfect detections -> AP 1.0 in all three metrics
+    for metric in ("2d", "bev", "3d"):
+        m = eval_object_detection(gt, gt, metric=metric,
+                                  difficulty="moderate")
+        assert m.ap > 0.999, (metric, m.ap)
+        assert m.n_gt == 10
+    # half the frames missed -> recall caps at 0.5
+    m = eval_object_detection(gt, gt[:5], metric="2d")
+    assert 0.4 < m.ap < 0.6, m.ap
+
+
+def test_object_detection_difficulty_ignores_small_boxes():
+    from dynamic_vins_tpu.io.eval_tools import eval_object_detection
+
+    # 20-px-high gt box: below even the hard min height -> ignored
+    gt = [_row(0, 0), _row(1, 1, bbox=(100, 100, 140, 120))]
+    est = [_row(0, 0)]
+    m = eval_object_detection(gt, est, difficulty="easy")
+    assert m.n_gt == 1
+    assert m.ap > 0.999
+
+
+def test_object_detection_false_positives_lower_ap():
+    from dynamic_vins_tpu.io.eval_tools import eval_object_detection
+
+    gt = [_row(f, f) for f in range(4)]
+    est = [_row(f, f) for f in range(4)]
+    # 4 high-scoring FPs in other frames
+    est += [_row(f + 10, f, score=0.95,
+                 bbox=(300, 300, 400, 380)) for f in range(4)]
+    m = eval_object_detection(gt, est)
+    assert m.ap < 0.6

@@ -168,3 +168,64 @@ def test_kitti_raw_dataset(tmp_path):
     gt = ds.oxts_ground_truth(str(tmp_path / "gt.txt"))
     assert len(gt) == 3
     assert os.path.exists(tmp_path / "gt.txt")
+
+
+def test_viode_dataset_reader(tmp_path):
+    """ViodeDataset: extracted-bag layout with cam0/cam1/segmentation
+    dirs + EuRoC-style imu csv + odometry GT."""
+    import cv2
+    from dynamic_vins_tpu.io.datasets import (ViodeDataset,
+                                              viode_dynamic_mask)
+
+    root = tmp_path / "viode"
+    for d in ("cam0", "cam1", "segmentation", "imu0", "odometry"):
+        (root / d / "data").mkdir(parents=True) if d not in (
+            "imu0", "odometry") else (root / d).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        t_ns = 1403636579763555584 + i * 100_000_000
+        img = rng.integers(0, 255, (48, 64), np.uint8)
+        cv2.imwrite(str(root / "cam0" / "data" / f"{t_ns}.png"), img)
+        cv2.imwrite(str(root / "cam1" / "data" / f"{t_ns}.png"), img)
+        seg = np.zeros((48, 64, 3), np.uint8)
+        seg[10:20, 10:20] = (142, 0, 0)       # BGR of car rgb(0,0,142)
+        cv2.imwrite(str(root / "segmentation" / "data" / f"{t_ns}.png"),
+                    seg)
+    with open(root / "imu0" / "data.csv", "w") as f:
+        f.write("#ts,gx,gy,gz,ax,ay,az\n")
+        for k in range(10):
+            f.write(f"{1403636579763555584 + k * 5_000_000},"
+                    "0.01,0.02,0.03,0.1,0.2,9.8\n")
+    with open(root / "odometry" / "data.csv", "w") as f:
+        for i in range(3):
+            t_ns = 1403636579763555584 + i * 100_000_000
+            f.write(f"{t_ns},{0.1 * i},0.0,0.0,1.0,0.0,0.0,0.0\n")
+
+    ds = ViodeDataset(str(root))
+    frames = list(ds.frames())
+    assert len(frames) == 3
+    assert frames[0].img_right is not None
+    assert frames[0].seg_left is not None
+    assert frames[1].t - frames[0].t == pytest.approx(0.1, abs=1e-6)
+    # seg decodes to a dynamic mask over the painted car region
+    m = viode_dynamic_mask(frames[0].seg_left)
+    assert m[15, 15] and not m[0, 0]
+    assert len(ds.imu()) == 10
+    gt = ds.ground_truth()
+    assert len(gt) == 3 and gt[2][1][0] == pytest.approx(0.2)
+
+
+def test_pcd_writer_roundtrip(tmp_path):
+    from dynamic_vins_tpu.io.writers import read_pcd, write_pcd
+
+    pts = np.random.default_rng(0).normal(size=(17, 3)).astype(np.float32)
+    path = str(tmp_path / "cloud.pcd")
+    write_pcd(path, pts)
+    back = read_pcd(path)
+    np.testing.assert_allclose(back, pts, atol=1e-5)
+    # with colors
+    cols = np.random.default_rng(1).integers(0, 255, (17, 3))
+    write_pcd(path, pts, cols)
+    head = open(path).read()
+    assert "FIELDS x y z rgb" in head
+    np.testing.assert_allclose(read_pcd(path), pts, atol=1e-5)

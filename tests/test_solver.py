@@ -89,3 +89,34 @@ def test_invalid_rows_do_not_contribute():
     assert np.all(np.isfinite(np.asarray(st.p)))
     np.testing.assert_allclose(np.asarray(dep),
                                np.asarray(ba.gt_inv_depth), atol=1e-12)
+
+
+def test_plane_constraint_fixes_z_roll_pitch():
+    """Planar-motion mode (PoseConstraint/SpeedConstraint local
+    parameterizations, factor/pose_local_parameterization.h:38-50):
+    z, roll, pitch, vz are never updated by the solve."""
+    from dynamic_vins_tpu.solver import layout
+
+    ba = ba_problems.build(num_frames=5, num_landmarks=80)
+    F = 5
+    fixed = np.asarray(ba.problem.fixed_cols)
+    fixed = fixed | layout.plane_constraint_cols(F)
+    problem = ba.problem._replace(fixed_cols=jnp.asarray(fixed))
+    state0 = ba_problems.perturb_state(ba.gt_state, pos_sigma=0.05,
+                                       rot_sigma=0.02, seed=11)
+    cfg = gn.SolverConfig(use_imu=True, max_iters=8)
+    st, dep, info = gn.solve(state0, ba.gt_inv_depth, problem, cfg)
+    assert float(info.final_cost) < float(info.initial_cost)
+    # constrained dims unchanged from the initial state
+    np.testing.assert_allclose(np.asarray(st.p[:, 2]),
+                               np.asarray(state0.p[:, 2]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.v[:, 2]),
+                               np.asarray(state0.v[:, 2]), atol=1e-12)
+    # roll/pitch tangent fixed: the q delta about x/y is zero
+    from dynamic_vins_tpu.geometry import lie
+    dth = np.asarray(lie.quat_log(lie.quat_multiply(
+        lie.quat_conjugate(jnp.asarray(state0.q)), st.q)))
+    np.testing.assert_allclose(dth[:, 0], 0.0, atol=1e-10)
+    np.testing.assert_allclose(dth[:, 1], 0.0, atol=1e-10)
+    # free dims did move
+    assert np.max(np.abs(np.asarray(st.p[:, :2] - state0.p[:, :2]))) > 1e-6
