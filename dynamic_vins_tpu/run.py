@@ -155,9 +155,14 @@ def run_euroc(args):
     return 0
 
 
-def run_viode(args):
+def run_viode(args, custom: bool = False):
     """VIODE (naive dynamic mode: mask-gated rejection, the reference's
-    primary VIODE configuration, config/viode/viode.yaml)."""
+    primary VIODE configuration, config/viode/viode.yaml).
+
+    With `custom=True`: generic captured stereo+IMU directories in the
+    same cam0/cam1/imu0 layout (`custom_dataset` package parity — the
+    reference's ZED/MyntEye captures are consumed the same way), raw
+    mode, no segmentation expected."""
     from dynamic_vins_tpu.io.datasets import (ViodeDataset,
                                               viode_dynamic_mask)
     from dynamic_vins_tpu.io.evaluation import ate_rmse
@@ -167,6 +172,14 @@ def run_viode(args):
 
     if args.config:
         cfg = VioConfig.from_yaml(args.config, args.seq)
+    elif custom:
+        cfg = VioConfig()
+        cfg.dataset = DatasetType.CUSTOM
+        cfg.slam = SlamMode(args.slam)
+        if args.intrinsics:
+            cfg.intrinsics_left = [float(v) for v
+                                   in args.intrinsics.split(",")]
+            cfg.intrinsics_right = cfg.intrinsics_left
     else:
         cfg = VioConfig()
         cfg.dataset = DatasetType.VIODE
@@ -289,7 +302,10 @@ def main(argv=None):
     ap.add_argument("--config", default=None)
     ap.add_argument("--seq", default="")
     ap.add_argument("--dataset", default="synthetic",
-                    choices=["synthetic", "euroc", "kitti", "viode"])
+                    choices=["synthetic", "euroc", "kitti", "viode",
+                             "custom"])
+    ap.add_argument("--intrinsics", default=None,
+                    help="custom dataset: fx,fy,cx,cy[,k1,k2,p1,p2]")
     ap.add_argument("--root", default=None)
     ap.add_argument("--left", default=None)
     ap.add_argument("--right", default=None)
@@ -312,10 +328,10 @@ def main(argv=None):
         return run_synthetic(args)
     if args.dataset == "euroc":
         return run_euroc(args)
-    if args.dataset == "viode":
+    if args.dataset in ("viode", "custom"):
         if not args.root:
-            raise SystemExit("viode requires --root (extracted bag dir)")
-        return run_viode(args)
+            raise SystemExit(f"{args.dataset} requires --root")
+        return run_viode(args, custom=args.dataset == "custom")
     if args.dataset == "kitti":
         if not args.left:
             raise SystemExit("kitti requires --left (and optionally "
