@@ -44,6 +44,11 @@ class EstimatorConfig:
     max_iters: int = 8
     huber_delta: float = 1.0
     estimate_extrinsic: bool = False
+    # hand-eye self-calibration of q_bc during startup (the reference's
+    # ESTIMATE_EXTRINSIC=2 / InitialEXRotation path); once the rotation
+    # converges it is written into the window state, after which
+    # `estimate_extrinsic` optionally keeps refining it in the BA
+    calibrate_extrinsic_rotation: bool = False
     estimate_td: bool = False
     outlier_thresh: float = 3.0 / 460.0   # reproj err, normalized plane
     max_depth: float = 200.0
@@ -120,6 +125,13 @@ class Estimator:
             self.lines = LineManager(num_frames=F,
                                      capacity=config.line_capacity,
                                      obs_capacity=config.line_obs_capacity)
+
+        self.ex_calib = None
+        if config.calibrate_extrinsic_rotation:
+            from dynamic_vins_tpu.estimator.ex_rotation import (
+                ExRotationCalibrator)
+
+            self.ex_calib = ExRotationCalibrator(dtype=config.dtype)
 
         self.im = None
         if config.dynamic:
@@ -660,6 +672,9 @@ class Estimator:
 
         self.timestamps[k] = frame.timestamp
         is_keyframe = self.fm.add_features(k, frame.features)
+        if (self.ex_calib is not None and self.ex_calib.result is None
+                and k > 0 and cfg.use_imu):
+            self._calibrate_ex_rotation(k)
         if self.lines is not None and frame.lines:
             self.lines.add_lines(k, frame.lines)
 
@@ -1025,6 +1040,41 @@ class Estimator:
             # re-linearize every edge at the solved gyro bias
             self._pres = self._preintegrate_all()
         self.initialized = True
+
+    def _calibrate_ex_rotation(self, k: int):
+        """Push one hand-eye rotation pair (frame k-1 → k) and re-solve
+        (`InitialEXRotation::CalibrationExRotation` parity). On
+        convergence the calibrated q_bc is written into the window
+        state and used by every subsequent stage."""
+        from dynamic_vins_tpu.estimator import initializer as ini
+        from dynamic_vins_tpu.geometry import lie_np
+
+        fm = self.fm
+        mask = fm.active & fm.has_obs[:, k - 1] & fm.has_obs[:, k]
+        if mask.sum() < 15 or self.imu_n[k - 1] == 0:
+            return
+        rel = ini.solve_relative_pose(fm.pt[mask, k - 1, :2],
+                                      fm.pt[mask, k, :2])
+        if rel is None:
+            return
+        R_ij = rel[0]                       # camera k in camera k-1 frame
+        q_c = lie_np.matrix_to_quat(R_ij)
+        # gyro-only body delta straight from the host IMU buffers (the
+        # device preintegration cache is refreshed later in the frame)
+        e = min(k - 1, self.cfg.num_frames - 2)
+        n = int(self.imu_n[e])
+        bg = self.state.bg[e]
+        q_b = np.array([1.0, 0.0, 0.0, 0.0])
+        for i in range(n):
+            w_mid = 0.5 * (self.imu_gyr[e, i] + self.imu_gyr[e, i + 1]) \
+                - bg
+            half = 0.5 * w_mid * self.imu_dt[e, i]
+            dq = np.concatenate([[1.0], half])
+            q_b = lie_np.quat_multiply(q_b, dq / np.linalg.norm(dq))
+        self.ex_calib.push(q_b, q_c)
+        q_bc, conv = self.ex_calib.solve()
+        if conv:
+            self.state.q_bc[0] = q_bc
 
     def _initialize_mono(self) -> bool:
         """Monocular SfM + gyro-bias + gravity/velocity/scale alignment

@@ -140,3 +140,36 @@ def make_tracker(levels: int = 4, radius: int = 10, iters: int = 10,
                      fb_thresh=fb_thresh, border=border)
 
     return jax.jit(run)
+
+
+def track_by_dense_flow(flow, pts, valid, flow_back=None,
+                        fb_thresh: float = 1.5, border: int = 3):
+    """Track features by sampling a dense optical-flow field.
+
+    Capability parity with `FeatureTrackByDenseFlow`
+    (`front_end/feature_utils.cpp`): the reference samples its RAFT flow
+    at each feature location instead of running sparse LK; here the
+    field comes from `models/raft.OnlineFlowEstimator` (or an offline
+    flow artifact) and all N features are one vmapped bilinear gather.
+
+    flow: [H,W,2] forward flow (img0 -> img1), pixel units.
+    pts: [N,2] positions in img0; valid: [N] bool.
+    flow_back: optional [H,W,2] backward field enabling the
+    forward-backward consistency check the sparse path performs.
+    Returns (pts1 [N,2], ok [N]).
+    """
+    from dynamic_vins_tpu.frontend import pyramid as pyr
+
+    fx = pyr.bilinear_sample(flow[..., 0], pts)
+    fy = pyr.bilinear_sample(flow[..., 1], pts)
+    pts1 = pts + jnp.stack([fx, fy], axis=-1)
+    ok = valid
+    if flow_back is not None:
+        bx = pyr.bilinear_sample(flow_back[..., 0], pts1)
+        by = pyr.bilinear_sample(flow_back[..., 1], pts1)
+        pts_back = pts1 + jnp.stack([bx, by], axis=-1)
+        ok = ok & (jnp.linalg.norm(pts_back - pts, axis=-1) < fb_thresh)
+    H, W = flow.shape[:2]
+    ok = ok & (pts1[:, 0] >= border) & (pts1[:, 0] < W - border) \
+        & (pts1[:, 1] >= border) & (pts1[:, 1] < H - border)
+    return pts1, ok

@@ -124,3 +124,25 @@ def test_erode_dilate_roundtrip():
     assert np.asarray(er).sum() == (16 - 4) ** 2
     di = pyr.dilate3(er, 2)
     np.testing.assert_array_equal(np.asarray(di), m)
+
+
+def test_track_by_dense_flow():
+    # FeatureTrackByDenseFlow parity: constant-translation field
+    import jax.numpy as jnp
+    from dynamic_vins_tpu.frontend import lk
+
+    H, W = 64, 96
+    flow = np.zeros((H, W, 2), np.float32)
+    flow[..., 0], flow[..., 1] = 3.0, -2.0
+    pts = jnp.asarray([[10.0, 10.0], [50.0, 30.0], [94.0, 5.0]],
+                      jnp.float32)
+    valid = jnp.ones(3, bool)
+    p1, ok = lk.track_by_dense_flow(jnp.asarray(flow), pts, valid,
+                                    jnp.asarray(-flow))
+    assert np.allclose(np.asarray(p1)[0], [13.0, 8.0])
+    assert bool(ok[0]) and bool(ok[1]) and not bool(ok[2])
+    # inconsistent backward field fails the fwd-bwd check
+    bad = np.zeros((H, W, 2), np.float32)
+    _, ok2 = lk.track_by_dense_flow(jnp.asarray(flow), pts, valid,
+                                    jnp.asarray(bad))
+    assert not bool(ok2[0])
