@@ -111,6 +111,8 @@ class Estimator:
         self._gyr0 = np.zeros(3)
         self._first_frame = True
         self._pose_preset = False
+        self._latest = None           # fast-prediction anchor state
+        self._fast_buf = []           # IMU samples since the last frame
 
         self._solver_cfg = gn.SolverConfig(
             max_iters=config.max_iters, use_imu=config.use_imu,
@@ -1382,9 +1384,65 @@ class Estimator:
     # ------------------------------------------------------------------
     def _output(self, k) -> OdometryOut:
         st = self.state
+        self._update_latest(k)
         return OdometryOut(
             timestamp=float(self.timestamps[k]),
             p=st.p[k].copy(), q=st.q[k].copy(), v=st.v[k].copy())
+
+    # ------------------------------------------------------------------
+    # IMU-rate low-latency odometry (the reference's fast path:
+    # InputIMU -> FastPredictIMU -> PubLatestOdometry between frames,
+    # estimator.cpp:729,1376; re-synced by UpdateLatestStates :1395)
+    # ------------------------------------------------------------------
+    def _update_latest(self, k):
+        """Re-anchor the fast-prediction state at the newest optimized
+        frame and replay IMU samples newer than it (UpdateLatestStates
+        parity). Pure host numpy — no device dispatch on this path."""
+        st = self.state
+        t_k = float(self.timestamps[k])
+        self._latest = {
+            "t": t_k, "p": st.p[k].copy(), "q": st.q[k].copy(),
+            "v": st.v[k].copy(), "ba": st.ba[k].copy(),
+            "bg": st.bg[k].copy(),
+            "acc": self._acc0.copy(), "gyr": self._gyr0.copy()}
+        buf = [s for s in self._fast_buf if s[0] > t_k]
+        self._fast_buf = []
+        for t, acc, gyr in buf:
+            self.fast_predict(t, acc, gyr)
+
+    def fast_predict(self, t, acc, gyr) -> Optional[OdometryOut]:
+        """Propagate the latest optimized state through one IMU sample
+        (FastPredictIMU parity) for IMU-rate odometry between frames."""
+        if not hasattr(self, "_latest") or self._latest is None:
+            return None
+        L = self._latest
+        acc = np.asarray(acc, float)
+        gyr = np.asarray(gyr, float)
+        dt = float(t) - L["t"]
+        if dt > 0.0:
+            g = np.array([0.0, 0.0, 9.81])
+            un_acc0 = lie_np.quat_rotate(L["q"], L["acc"] - L["ba"]) - g
+            un_gyr = 0.5 * (L["gyr"] + gyr) - L["bg"]
+            ang = un_gyr * dt
+            half = 0.5 * ang
+            dq = np.concatenate([[1.0], half])
+            n2 = float(half @ half)
+            if n2 > 1e-12:          # exact exp for non-tiny rotations
+                theta = np.sqrt(n2)
+                dq = np.concatenate(
+                    [[np.cos(theta)], np.sin(theta) / theta * half])
+            q_new = lie_np.quat_multiply(L["q"], dq)
+            q_new /= np.linalg.norm(q_new)
+            un_acc1 = lie_np.quat_rotate(q_new, acc - L["ba"]) - g
+            un_acc = 0.5 * (un_acc0 + un_acc1)
+            L["p"] = L["p"] + L["v"] * dt + 0.5 * un_acc * dt * dt
+            L["v"] = L["v"] + un_acc * dt
+            L["q"] = q_new
+            L["t"] = float(t)
+        L["acc"], L["gyr"] = acc, gyr
+        self._fast_buf.append((float(t), acc, gyr))
+        return OdometryOut(timestamp=float(t), p=L["p"].copy(),
+                           q=L["q"].copy(), v=L["v"].copy())
 
     def set_initial_pose(self, p, q, v=None):
         """Anchor the world frame (otherwise gravity-aligned, yaw-free)."""

@@ -284,8 +284,13 @@ def solve_damped(eq: NormalEquations, lm_valid, fixed_cols, lam, ridge,
     scale = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(S), 1e-12))
     S_s = S * scale[:, None] * scale[None, :]
     cho, low = jax.scipy.linalg.cho_factor(S_s, lower=True)
-    delta_c = -scale * jax.scipy.linalg.cho_solve((cho, low),
-                                                  scale * rhs)
+    b_s = scale * rhs
+    x = jax.scipy.linalg.cho_solve((cho, low), b_s)
+    # one step of iterative refinement: recovers mantissa bits the f32
+    # Cholesky loses on the wide-dynamic-range whitened system (one
+    # extra [D,D] matvec + triangular solve — negligible vs JᵀJ)
+    x = x + jax.scipy.linalg.cho_solve((cho, low), b_s - S_s @ x)
+    delta_c = -scale * x
     delta_c = jnp.where(fixed_cols, 0.0, delta_c)
     delta_l = -(b_l + H_lc @ delta_c) * inv_Hll
     delta_l = jnp.where(lm_valid, delta_l, 0.0)
