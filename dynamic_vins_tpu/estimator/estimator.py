@@ -609,6 +609,11 @@ class Estimator:
         """Record IMU measurements for the edge ending at the next frame.
 
         acc/gyr: [M+1,3] samples bracketing the interval, dts: [M]."""
+        # anchor sample for the IMU-rate fast path (UpdateLatestStates
+        # copies the real last sample, estimator.cpp:1395 latest_acc_0)
+        if len(acc):
+            self._acc0 = np.asarray(acc[-1], dtype=float).copy()
+            self._gyr0 = np.asarray(gyr[-1], dtype=float).copy()
         if self.frame_count == 0:
             return
         e = min(self.frame_count - 1, self.cfg.num_frames - 2)
@@ -1400,6 +1405,14 @@ class Estimator:
         parity). Pure host numpy — no device dispatch on this path."""
         st = self.state
         t_k = float(self.timestamps[k])
+        if not self.initialized:
+            # reference runs the fast path only after initialization
+            # (estimator.cpp:1690 guarded by solver_flag) — publishing
+            # IMU-rate odometry off an unaligned window would propagate
+            # zero biases / unaligned gravity.
+            self._latest = None
+            self._fast_buf = []
+            return
         self._latest = {
             "t": t_k, "p": st.p[k].copy(), "q": st.q[k].copy(),
             "v": st.v[k].copy(), "ba": st.ba[k].copy(),
@@ -1419,26 +1432,29 @@ class Estimator:
         acc = np.asarray(acc, float)
         gyr = np.asarray(gyr, float)
         dt = float(t) - L["t"]
-        if dt > 0.0:
-            g = np.array([0.0, 0.0, 9.81])
-            un_acc0 = lie_np.quat_rotate(L["q"], L["acc"] - L["ba"]) - g
-            un_gyr = 0.5 * (L["gyr"] + gyr) - L["bg"]
-            ang = un_gyr * dt
-            half = 0.5 * ang
-            dq = np.concatenate([[1.0], half])
-            n2 = float(half @ half)
-            if n2 > 1e-12:          # exact exp for non-tiny rotations
-                theta = np.sqrt(n2)
-                dq = np.concatenate(
-                    [[np.cos(theta)], np.sin(theta) / theta * half])
-            q_new = lie_np.quat_multiply(L["q"], dq)
-            q_new /= np.linalg.norm(q_new)
-            un_acc1 = lie_np.quat_rotate(q_new, acc - L["ba"]) - g
-            un_acc = 0.5 * (un_acc0 + un_acc1)
-            L["p"] = L["p"] + L["v"] * dt + 0.5 * un_acc * dt * dt
-            L["v"] = L["v"] + un_acc * dt
-            L["q"] = q_new
-            L["t"] = float(t)
+        if dt <= 0.0:
+            # duplicate / out-of-order IMU timestamp: don't corrupt the
+            # anchor sample or buffer for the next midpoint step
+            return None
+        g = np.array([0.0, 0.0, 9.81])
+        un_acc0 = lie_np.quat_rotate(L["q"], L["acc"] - L["ba"]) - g
+        un_gyr = 0.5 * (L["gyr"] + gyr) - L["bg"]
+        ang = un_gyr * dt
+        half = 0.5 * ang
+        dq = np.concatenate([[1.0], half])
+        n2 = float(half @ half)
+        if n2 > 1e-12:          # exact exp for non-tiny rotations
+            theta = np.sqrt(n2)
+            dq = np.concatenate(
+                [[np.cos(theta)], np.sin(theta) / theta * half])
+        q_new = lie_np.quat_multiply(L["q"], dq)
+        q_new /= np.linalg.norm(q_new)
+        un_acc1 = lie_np.quat_rotate(q_new, acc - L["ba"]) - g
+        un_acc = 0.5 * (un_acc0 + un_acc1)
+        L["p"] = L["p"] + L["v"] * dt + 0.5 * un_acc * dt * dt
+        L["v"] = L["v"] + un_acc * dt
+        L["q"] = q_new
+        L["t"] = float(t)
         L["acc"], L["gyr"] = acc, gyr
         self._fast_buf.append((float(t), acc, gyr))
         return OdometryOut(timestamp=float(t), p=L["p"].copy(),

@@ -112,3 +112,15 @@ def test_estimator_wiring_smoke():
     assert est.ex_calib is not None and est.ex_calib.n > 0
     err = np.linalg.norm(np.asarray(outs[-1].p) - np.asarray(seq.gt_p[-1]))
     assert np.isfinite(err)
+    if est.ex_calib.result is not None:
+        # the calibrated q_bc must actually be the rig's extrinsic — a
+        # sign/direction regression in the hand-eye pairing would
+        # otherwise still pass the smoke assertions above
+        ang = _angle_between(np.asarray(est.ex_calib.result),
+                             np.asarray(rig.q_bc))
+        assert np.degrees(ang) < 3.0, \
+            f"calibrated extrinsic off by {np.degrees(ang):.2f} deg"
+        # and the estimate must have been written into the window state
+        ang_state = _angle_between(np.asarray(est.state.q_bc[0]),
+                                   np.asarray(rig.q_bc))
+        assert np.degrees(ang_state) < 3.0
