@@ -27,6 +27,9 @@ def main():
     t_script0 = time.perf_counter()
     dtype = jnp.float32
 
+    import dynamic_vins_tpu
+    dynamic_vins_tpu.enable_compile_cache()
+
     from dynamic_vins_tpu.imu import preintegration as pre
     from dynamic_vins_tpu.sim import ba_problems
     from dynamic_vins_tpu.solver import gauss_newton as gn

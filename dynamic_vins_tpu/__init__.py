@@ -18,4 +18,16 @@ Layering (mirrors SURVEY.md §7 build plan):
   sim/       — synthetic trajectory/IMU/feature simulation for tests & bench
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def enable_compile_cache(path: str = "/root/repo/.jax_cache") -> None:
+    """Enable JAX's persistent compilation cache (off by default so unit
+    tests keep hermetic timing). First TPU compiles through the tunneled
+    backend take tens of seconds to minutes (CLAUDE.md); the on-disk
+    cache makes every process after the first start warm."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

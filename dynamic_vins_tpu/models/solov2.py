@@ -89,9 +89,11 @@ class Solov2(nn.Module):
     def __call__(self, img):
         feats = layers.Backbone(dtype=self.dtype)(img)
         pyramid = layers.FPN(64, dtype=self.dtype)(feats)
+        assert len(pyramid) == len(self.grid_sizes), \
+            "one grid size per FPN level"
         kernels, scores = Solov2Head(
             self.num_classes, self.embed_dim, self.grid_sizes,
-            dtype=self.dtype)(pyramid[1:])
+            dtype=self.dtype)(pyramid)
         # mask feature branch: fuse P2..P5 at 1/4 resolution
         hw = pyramid[0].shape[1:3]
         fused = sum(layers.upsample_to(p, hw) for p in pyramid)
