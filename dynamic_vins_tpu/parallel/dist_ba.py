@@ -50,7 +50,8 @@ def _local_normal_equations(state, inv_depth, problem, config, axis,
     j_dep = j_dep * w
 
     N = r_p.shape[0]
-    J_proj = gn._scatter_rows(j_cam, cols, 2, D)
+    J_proj = gn._assemble_proj_rows(j_cam, problem.obs,
+                                    state.num_frames, D)
     r_proj = r_p.reshape(2 * N)
     jl = j_dep.reshape(2 * N)
     lm_flat = jnp.repeat(problem.obs.lm, 2)

@@ -77,6 +77,36 @@ def _scatter_rows(jacs, cols, n_rows_per_item, D):
     return out.at[row_idx, col_idx].add(jacs)
 
 
+def _assemble_proj_rows(j_cam, obs, F, D):
+    """Dense projection Jacobian [2N, D] without scatter.
+
+    XLA lowers `at[].add` scatters to serialized updates on TPU — on
+    the 8192-row reference problem the scatter was ~60% of an LM
+    iteration. The projection factor's sparsity is block-structured
+    (pose_i, pose_j, extrinsic cam0, extrinsic cam_j, td — layout.py
+    column map), so the dense rows assemble from one-hot outer
+    products + a concat: pure VPU broadcast-multiplies, no scatter.
+
+    j_cam: [N,2,25] with blocks [0:6) dpose_i, [6:12) dpose_j,
+    [12:18) dex_i (always cam 0), [18:24) dex_j (cam_j), [24] dtd.
+    """
+    n = j_cam.shape[0]
+    dt = j_cam.dtype
+    oh_i = jax.nn.one_hot(obs.frame_i, F, dtype=dt)          # [N,F]
+    oh_j = jax.nn.one_hot(obs.frame_j, F, dtype=dt)
+    pose = (j_cam[:, :, None, 0:6] * oh_i[:, None, :, None]
+            + j_cam[:, :, None, 6:12] * oh_j[:, None, :, None])
+    pose = pose.reshape(n, 2, 6 * F)
+    sb = jnp.zeros((n, 2, 9 * F), dt)
+    oh_c = jax.nn.one_hot(obs.cam_j, 2, dtype=dt)            # [N,2]
+    # ex cam-0 block: anchor extrinsic always + observing when cam_j=0
+    ex0 = j_cam[:, :, 12:18] + oh_c[:, None, 0:1] * j_cam[:, :, 18:24]
+    ex1 = oh_c[:, None, 1:2] * j_cam[:, :, 18:24]
+    td = j_cam[:, :, 24:25]
+    J = jnp.concatenate([pose, sb, ex0, ex1, td], axis=-1)
+    return J.reshape(2 * n, D)
+
+
 class NormalEquations(NamedTuple):
     H_cc: jnp.ndarray    # [Dc, Dc]
     b_c: jnp.ndarray     # [Dc]
@@ -152,7 +182,8 @@ def build_normal_equations(state: layout.WindowState, inv_depth,
     j_dep = j_dep * w
 
     N = r_p.shape[0]
-    J_proj = _scatter_rows(j_cam, cols, 2, D)          # [2N, D]
+    J_proj = _assemble_proj_rows(j_cam, problem.obs,
+                                 state.num_frames, D)  # [2N, D]
     r_proj = r_p.reshape(2 * N)
     jl = j_dep.reshape(2 * N)
     lm_flat = jnp.repeat(problem.obs.lm, 2)

@@ -120,3 +120,21 @@ def test_plane_constraint_fixes_z_roll_pitch():
     np.testing.assert_allclose(dth[:, 1], 0.0, atol=1e-10)
     # free dims did move
     assert np.max(np.abs(np.asarray(st.p[:, :2] - state0.p[:, :2]))) > 1e-6
+
+
+def test_assembled_proj_rows_match_scatter():
+    # the scatter-free one-hot assembly must reproduce the scatter
+    # result exactly (both are two-term adds per element)
+    from dynamic_vins_tpu.factors import projection
+    from dynamic_vins_tpu.solver import layout
+
+    ba = ba_problems.build(num_frames=5, num_landmarks=40,
+                           obs_capacity=256, lm_capacity=64, seed=3)
+    st = ba.gt_state
+    r, j_cam, j_dep, cols = projection.evaluate(st, ba.gt_inv_depth,
+                                                ba.problem.obs)
+    D = layout.cam_dim(5)
+    a = gn._scatter_rows(j_cam, cols, 2, D)
+    b = gn._assemble_proj_rows(j_cam, ba.problem.obs, 5, D)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=0, atol=1e-12)
