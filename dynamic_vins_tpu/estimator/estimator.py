@@ -53,6 +53,11 @@ class EstimatorConfig:
     outlier_thresh: float = 3.0 / 460.0   # reproj err, normalized plane
     max_depth: float = 200.0
     use_megastep: bool = True       # steady-state single-dispatch frame
+    # device-resident pipelined steady state: dispatch frame k+1 without
+    # waiting for frame k's results (outputs lag 2 frames, keeping their
+    # own timestamps). Hides the host<->device round trip — the dominant
+    # per-frame cost on remote-attached chips.
+    pipelined: bool = False
     use_plane_constraint: bool = False   # planar-motion mode ('use_plane')
     dynamic: bool = False           # per-object estimation (slam: dynamic)
     use_line: bool = False          # LinePoint mode (PL-VINS capability)
@@ -602,6 +607,170 @@ class Estimator:
 
         self._megastep_packed = megastep_packed
 
+        # -------- pipelined megastep: device-RESIDENT state ------------
+        # On remote-attached chips every host fetch costs a full tunnel
+        # round trip (~27 ms measured) and the sequential megastep must
+        # fetch before it can pack the next frame. Here the window
+        # state, inverse depths, validity masks, preintegrations and
+        # prior all LIVE on device; the megastep also performs the
+        # window slide, so frame k+1 dispatches without ever waiting for
+        # frame k's results. The host consumes results with a 2-frame
+        # lag (outputs keep their own timestamps, so written
+        # trajectories are unchanged). Host lifecycle (slot alloc, slide
+        # deaths) flows device-ward as per-frame delta masks; the
+        # device's alive/depth-valid masks are authoritative.
+        from dynamic_vins_tpu.estimator.feature_manager import (
+            DEFAULT_DEPTH)
+
+        fsec_p = [("acc", 3 * (C + 1)), ("gyr", 3 * (C + 1)), ("dts", C),
+                  ("acc_m", 3 * (C + 1)), ("gyr_m", 3 * (C + 1)),
+                  ("dts_m", C), ("tri_f", 6 * L), ("of", 9 * Co),
+                  ("pt0", 3 * L), ("pt_a", 2 * L), ("pt_c", 2 * L)]
+        isec_p = [("oi", 4 * Co), ("anchors", L), ("stereo", L),
+                  ("two", L), ("tri_req", L), ("obs_ok", L),
+                  ("cur_ok", L), ("hasobs1", L), ("reset", L),
+                  ("kill", L), ("ov", Co), ("imu_n", E), ("n_e", 1),
+                  ("n_m", 1), ("is_kf", 1)]
+        pfo, pio = {}, {}
+        o = 0
+        for name, n in fsec_p:
+            pfo[name] = (o, o + n)
+            o += n
+        self._pipe_fsize = o
+        o = 0
+        for name, n in isec_p:
+            pio[name] = (o, o + n)
+            o += n
+        self._pipe_isize = o
+        self._pipe_foff, self._pipe_ioff = pfo, pio
+
+        @precise_jit
+        def megastep_pipelined(fblob, iblob, flat, inv_depth, dv, alive,
+                               pres, prior):
+            fs = lambda n: fblob[pfo[n][0]:pfo[n][1]]
+            is_ = lambda n: iblob[pio[n][0]:pio[n][1]]
+            b = lambda n: is_(n).astype(bool)
+            acc = fs("acc").reshape(C + 1, 3)
+            gyr = fs("gyr").reshape(C + 1, 3)
+            dts = fs("dts")
+            mask_new = jnp.arange(C) < is_("n_e")[0]
+            tri_f = fs("tri_f").reshape(L, 6)
+            of = fs("of").reshape(Co, 9)
+            pt0 = fs("pt0").reshape(L, 3)
+            pt_a = fs("pt_a").reshape(L, 2)
+            pt_c = fs("pt_c").reshape(L, 2)
+            oi = is_("oi").reshape(Co, 4)
+            anchors = is_("anchors")
+            imu_n = is_("imu_n")
+            imu_valid = (imu_n > 0) & use_imu_static \
+                & (jnp.arange(E) < (F - 1))
+            is_kf = is_("is_kf")[0] > 0
+            reset, kill = b("reset"), b("kill")
+            obs_ok, cur_ok, hasobs1 = b("obs_ok"), b("cur_ok"), \
+                b("hasobs1")
+
+            # host lifecycle deltas -> resident masks. A slot can be
+            # slide-killed and immediately reallocated in one frame:
+            # reset wins.
+            alive = (alive & ~kill) | reset
+            dv = dv & ~(reset | kill)
+            inv_depth = jnp.where(reset | kill,
+                                  jnp.asarray(1.0 / DEFAULT_DEPTH,
+                                              inv_depth.dtype),
+                                  inv_depth)
+
+            st0 = unpack(flat)
+            # PnP pack built ON DEVICE from resident depths/state
+            one_c = jnp.ones((L, 1), flat.dtype)
+            pts_ca = jnp.concatenate([pt_a, one_c], axis=1) / \
+                jnp.maximum(inv_depth, 1e-6)[:, None]
+            pa, qa = st0.p[anchors], st0.q[anchors]
+            p_wc, q_wc = lie.pose_compose(pa, qa, st0.p_bc[0][None, :],
+                                          st0.q_bc[0][None, :])
+            pw = lie.quat_rotate(q_wc, pts_ca) + p_wc
+            valid_pnp = cur_ok & dv & alive
+            pnp_pack = jnp.concatenate(
+                [pw, pt_c, valid_pnp[:, None].astype(flat.dtype)],
+                axis=1)
+
+            pres2, flat2, _err = prepare_frame(flat, pres, E_last, acc,
+                                               gyr, dts, mask_new, F1,
+                                               pnp_pack)
+            gate = alive & ~dv
+            d, tok = triangulate_slots(flat2, anchors, tri_f,
+                                       b("stereo") & gate,
+                                       b("two") & gate, F1)
+            new_tri = b("tri_req") & tok & gate
+            inv2 = jnp.where(new_tri, 1.0 / jnp.maximum(d, 1e-6),
+                             inv_depth)
+            dv2 = dv | new_tri
+            lm_valid = alive & dv2 & obs_ok
+            ov2 = b("ov") & lm_valid[oi[:, 3]]
+
+            flat3, dep, cost, scores = solve_score(
+                flat2, inv2, oi, of, ov2, pres2, imu_valid, prior,
+                lm_valid)
+
+            bad = ((scores > outlier_thresh) | (dep < 1e-4)) & lm_valid
+            alive2 = alive & ~bad
+            dv3 = dv2 & ~bad
+            lm_valid_m = lm_valid & ~bad
+            ov3 = ov2 & ~bad[oi[:, 3]]
+            inv3 = jnp.where(lm_valid_m, dep, inv2)
+            drop = alive & (anchors == 0) & dv2
+            st3 = unpack(flat3)
+
+            def kf_branch(_):
+                shifted, new_inv, re_ok = marg_old_shifted(
+                    flat3, dep, oi, of, ov3, pres2, imu_valid, prior,
+                    lm_valid_m, drop, pt0)
+                sh = lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0)
+                st4 = st3._replace(p=sh(st3.p), q=sh(st3.q),
+                                   v=sh(st3.v), ba=sh(st3.ba),
+                                   bg=sh(st3.bg))
+                # fm.slide_old depth re-anchor semantics
+                sel = alive2 & (anchors == 0) & hasobs1 & dv3
+                inv4 = jnp.where(sel & re_ok, new_inv, inv3)
+                dv4 = dv3 & ~(sel & ~re_ok)
+                pres4 = jax.tree.map(
+                    lambda a: jnp.concatenate([a[1:], a[-1:] * 0],
+                                              axis=0), pres2)
+                return st4.pack(), inv4, dv4, shifted, pres4
+
+            def nkf_branch(_):
+                pr2 = marg.marginalize_second_new(prior, F)
+                pr2 = marg.shift_prior_after_slide_new(pr2)
+                pr_out = jax.tree.map(
+                    lambda n_, o_: jnp.where(prior.valid, n_, o_),
+                    pr2, prior)
+                cp = lambda a: a.at[F - 2].set(a[F - 1])
+                st4 = st3._replace(p=cp(st3.p), q=cp(st3.q),
+                                   v=cp(st3.v), ba=cp(st3.ba),
+                                   bg=cp(st3.bg))
+                # merged IMU edge (host pre-merged raw samples)
+                acc_m = fs("acc_m").reshape(C + 1, 3)
+                gyr_m = fs("gyr_m").reshape(C + 1, 3)
+                dts_m = fs("dts_m")
+                mask_m = jnp.arange(C) < is_("n_m")[0]
+                one_m = pre.preintegrate(acc_m, gyr_m, dts_m,
+                                         st3.ba[F - 3], st3.bg[F - 3],
+                                         noise=noise, valid_mask=mask_m)
+                pres4 = jax.tree.map(
+                    lambda f_, o_: f_.at[F - 3].set(o_), pres2, one_m)
+                pres4 = jax.tree.map(
+                    lambda f_: f_.at[F - 2].set(f_[F - 2] * 0), pres4)
+                return st4.pack(), inv3, dv3, pr_out, pres4
+
+            flat4, inv4, dv4, prior_out, pres4 = jax.lax.cond(
+                is_kf, kf_branch, nkf_branch, operand=None)
+            out = jnp.concatenate([
+                flat3, dep, new_tri.astype(flat3.dtype),
+                bad.astype(flat3.dtype), cost[None], inv4,
+                dv4.astype(flat3.dtype)])
+            return flat4, inv4, dv4, alive2, pres4, prior_out, out
+
+        self._megastep_pipelined = megastep_pipelined
+
     # ------------------------------------------------------------------
     # IMU ingestion
     # ------------------------------------------------------------------
@@ -685,7 +854,11 @@ class Estimator:
         if self.lines is not None and frame.lines:
             self.lines.add_lines(k, frame.lines)
 
-        # steady-state fast path: whole frame in ONE device dispatch
+        # steady-state fast paths (window full, initialized, point-only)
+        if (cfg.pipelined and cfg.use_megastep and self.initialized
+                and k == F - 1 and self.lines is None
+                and self.im is None):
+            return self._megastep_frame_pipelined(is_keyframe)
         if (cfg.use_megastep and self.initialized and k == F - 1
                 and self.lines is None):
             self._megastep_frame(is_keyframe)
@@ -884,6 +1057,238 @@ class Estimator:
         self.prior = prior_out
         if is_keyframe:
             self._reanchored = (None, new_inv, re_ok)
+
+    # ------------------------------------------------------------------
+    # pipelined steady state (device-resident; see megastep_pipelined)
+    # ------------------------------------------------------------------
+    def _pipe_prime(self):
+        """Push host mirrors to the device residents (mode entry)."""
+        fm = self.fm
+        self._pipe_res = {
+            "flat": jnp.array(self.state.pack()),
+            "inv": jnp.array(fm.inv_depth),
+            "dv": jnp.asarray(fm.depth_valid.copy()),
+            "alive": jnp.asarray(fm.active.copy()),
+        }
+        from collections import deque
+        self._pipe_q = deque()
+        self._pipe_tri_hist = deque(maxlen=2)
+
+    def _megastep_frame_pipelined(self, is_keyframe: bool):
+        cfg = self.cfg
+        fm = self.fm
+        F = cfg.num_frames
+        k, e = F - 1, F - 2
+        L = cfg.lm_capacity
+        C = cfg.imu_per_edge
+        if getattr(self, "_pipe_res", None) is None:
+            self._pipe_prime()
+
+        # keep at most 2 frames in flight
+        out = None
+        if len(self._pipe_q) >= 2:
+            out = self._pipe_drain_one()
+            if self.failed:
+                return out
+
+        # ---- hints from host mirrors (≤2 frames stale; the device's
+        # resident masks are authoritative) -----------------------------
+        new_slots = fm.last_new_slots.copy()
+        kill = fm.last_slide_dead.copy()
+        fm.last_slide_dead = np.zeros(L, bool)
+        cur_ok = fm.active & fm.has_obs[:, k] & (fm.start_frame < k)
+        total_obs = fm.has_obs.sum(1) + fm.has_right.sum(1)
+        obs_ok = fm.active & (total_obs >= 2)
+        hasobs1 = fm.has_obs[:, 1].copy()
+        anchors = fm.start_frame.astype(np.int32)
+
+        need = fm.active & ~fm.depth_valid & (fm.start_frame <= k)
+        stereo_ok = np.zeros(L, bool)
+        two_ok = np.zeros(L, bool)
+        tri_f = np.zeros((L, 6))
+        for sl in np.flatnonzero(need):
+            a = int(fm.start_frame[sl])
+            if cfg.stereo and fm.has_right[sl, a]:
+                stereo_ok[sl] = True
+                tri_f[sl, 0:2] = fm.pt[sl, a, :2]
+                tri_f[sl, 2:4] = fm.pt_right[sl, a, :2]
+            elif a < k and fm.has_obs[sl, k]:
+                two_ok[sl] = True
+                tri_f[sl, 0:2] = fm.pt[sl, a, :2]
+                tri_f[sl, 4:6] = fm.pt[sl, k, :2]
+        tri_req = stereo_ok | two_ok
+        # emit obs rows for recently-hinted slots too: a slot the device
+        # triangulated in the (still in-flight) last frames must appear
+        # in this frame's rows even though the host mirror lags
+        extra = tri_req.copy()
+        for h in self._pipe_tri_hist:
+            extra |= h
+        self._pipe_tri_hist.append(tri_req.copy())
+        oi, of, ov, _ = fm.build_obs_packed(extra_mask=extra)
+        pt0 = np.array(fm.pt[:, 0])
+        pt_a = fm.pt[np.arange(L), np.minimum(anchors, F - 1), :2]
+        pt_c = fm.pt[:, k, :2]
+
+        # merged IMU buffer for a non-keyframe slide (host raw data)
+        acc_m = np.zeros((C + 1, 3))
+        gyr_m = np.zeros((C + 1, 3))
+        dts_m = np.zeros(C)
+        n_m = 0
+        if not is_keyframe:
+            e2, e1 = F - 3, F - 2
+            n2, n1 = int(self.imu_n[e2]), int(self.imu_n[e1])
+            take = max(min(n1, C - n2), 0)
+            acc_m[:n2 + 1] = self.imu_acc[e2, :n2 + 1]
+            gyr_m[:n2 + 1] = self.imu_gyr[e2, :n2 + 1]
+            dts_m[:n2] = self.imu_dt[e2, :n2]
+            if take > 0:
+                acc_m[n2 + 1:n2 + take + 1] = self.imu_acc[e1, 1:take + 1]
+                gyr_m[n2 + 1:n2 + take + 1] = self.imu_gyr[e1, 1:take + 1]
+                dts_m[n2:n2 + take] = self.imu_dt[e1, :take]
+            n_m = n2 + take
+
+        blob_dt = np.float64 if jax.config.jax_enable_x64 \
+            else np.float32
+        fblob = np.zeros(self._pipe_fsize, blob_dt)
+        iblob = np.zeros(self._pipe_isize, np.int32)
+        fo, io = self._pipe_foff, self._pipe_ioff
+        put_f = lambda n, a: fblob.__setitem__(
+            slice(*fo[n]), np.asarray(a, blob_dt).ravel())
+        put_i = lambda n, a: iblob.__setitem__(
+            slice(*io[n]), np.asarray(a, np.int32).ravel())
+        put_f("acc", self.imu_acc[e])
+        put_f("gyr", self.imu_gyr[e])
+        put_f("dts", self.imu_dt[e])
+        put_f("acc_m", acc_m)
+        put_f("gyr_m", gyr_m)
+        put_f("dts_m", dts_m)
+        put_f("tri_f", tri_f)
+        put_f("of", of)
+        put_f("pt0", pt0)
+        put_f("pt_a", pt_a)
+        put_f("pt_c", pt_c)
+        put_i("oi", oi)
+        put_i("anchors", anchors)
+        put_i("stereo", stereo_ok)
+        put_i("two", two_ok)
+        put_i("tri_req", tri_req)
+        put_i("obs_ok", obs_ok)
+        put_i("cur_ok", cur_ok)
+        put_i("hasobs1", hasobs1)
+        put_i("reset", new_slots)
+        put_i("kill", kill)
+        put_i("ov", ov)
+        put_i("imu_n", self.imu_n)
+        put_i("n_e", self.imu_n[e])
+        put_i("n_m", n_m)
+        put_i("is_kf", int(is_keyframe))
+
+        r = self._pipe_res
+        (flat4, inv4, dv4, alive2, pres4, prior_out,
+         outblob) = self._megastep_pipelined(
+            jnp.asarray(fblob), jnp.asarray(iblob), r["flat"], r["inv"],
+            r["dv"], r["alive"], self._pres, self.prior)
+        self._pipe_res = {"flat": flat4, "inv": inv4, "dv": dv4,
+                          "alive": alive2}
+        self._pres = pres4
+        self.prior = prior_out
+        try:
+            outblob.copy_to_host_async()
+        except Exception:
+            pass
+        self._pipe_q.append(
+            (outblob, float(self.timestamps[k]), bool(is_keyframe)))
+
+        self._slide_host_only(is_keyframe)
+        return out
+
+    def _pipe_drain_one(self) -> Optional[OdometryOut]:
+        """Fetch the oldest in-flight frame; apply host mirrors."""
+        fm = self.fm
+        F = self.cfg.num_frames
+        L = self.cfg.lm_capacity
+        S = int(np.asarray(self.state.pack()).size)
+        outblob, t_k, was_kf = self._pipe_q.popleft()
+        ob = np.array(outblob)
+        flat3 = ob[:S]
+        dep = ob[S:S + L]
+        new_tri = ob[S + L:S + 2 * L] > 0.5
+        bad = ob[S + 2 * L:S + 3 * L] > 0.5
+        cost = ob[S + 3 * L]
+        inv4 = ob[S + 3 * L + 1:S + 4 * L + 1]
+        dv4 = ob[S + 4 * L + 1:S + 5 * L + 1] > 0.5
+
+        if not np.isfinite(float(cost)):
+            self.failed = True
+            return None
+        st3 = layout.WindowState.unpack(flat3, F)
+        out = OdometryOut(timestamp=t_k, p=np.array(st3.p[F - 1]),
+                          q=np.array(st3.q[F - 1]),
+                          v=np.array(st3.v[F - 1]))
+        # state mirror: post-slide of the drained frame
+        stn = jax.tree.map(np.array, st3)
+        for a in (stn.p, stn.q, stn.v, stn.ba, stn.bg):
+            if was_kf:
+                a[:-1] = a[1:]
+            else:
+                a[F - 2] = a[F - 1]
+        self.state = stn
+        # landmark mirrors are slot-indexed -> slide-invariant
+        fm.inv_depth[:] = inv4
+        fm.depth_valid[:] = dv4 & fm.active
+        fm.remove_outliers(bad)
+        self._check_failure()
+        # fast-path anchor: newest optimized state we have
+        self._latest = {
+            "t": t_k, "p": out.p.copy(), "q": out.q.copy(),
+            "v": out.v.copy(), "ba": np.array(st3.ba[F - 1]),
+            "bg": np.array(st3.bg[F - 1]),
+            "acc": self._acc0.copy(), "gyr": self._gyr0.copy()}
+        self._fast_buf = [s for s in self._fast_buf if s[0] > t_k]
+        return out
+
+    def flush(self):
+        """Drain all in-flight pipelined frames (ordered outputs)."""
+        outs = []
+        while getattr(self, "_pipe_q", None):
+            o = self._pipe_drain_one()
+            if o is not None:
+                outs.append(o)
+        return outs
+
+    def _slide_host_only(self, old: bool):
+        """Host bookkeeping part of the slide; the device residents were
+        slid inside megastep_pipelined (pres/prior/state/depths)."""
+        cfg = self.cfg
+        F = cfg.num_frames
+        if old:
+            # depth mirror values arrive via the download; keep them
+            self.fm.slide_old(lambda slots: self.fm.inv_depth[slots])
+            self.timestamps[:-1] = self.timestamps[1:]
+            self.imu_acc[:-1] = self.imu_acc[1:]
+            self.imu_gyr[:-1] = self.imu_gyr[1:]
+            self.imu_dt[:-1] = self.imu_dt[1:]
+            self.imu_n[:-1] = self.imu_n[1:]
+            self.imu_n[-1] = 0
+            self.imu_dt[-1] = 0
+        else:
+            F2, F1 = F - 2, F - 1
+            self.timestamps[F2] = self.timestamps[F1]
+            e2, e1 = F - 3, F - 2
+            n2, n1 = int(self.imu_n[e2]), int(self.imu_n[e1])
+            C = cfg.imu_per_edge
+            take = max(min(n1, C - n2), 0)
+            if take > 0:
+                self.imu_acc[e2, n2 + 1:n2 + take + 1] = \
+                    self.imu_acc[e1, 1:take + 1]
+                self.imu_gyr[e2, n2 + 1:n2 + take + 1] = \
+                    self.imu_gyr[e1, 1:take + 1]
+                self.imu_dt[e2, n2:n2 + take] = self.imu_dt[e1, :take]
+                self.imu_n[e2] = n2 + take
+            self.imu_n[e1] = 0
+            self.imu_dt[e1] = 0
+            self.fm.slide_new()
+        self.frame_count = F - 1
 
     def _prepare(self, k):
         """One-dispatch frame prep (packed state transfer)."""
@@ -1474,6 +1879,8 @@ class Estimator:
     # ------------------------------------------------------------------
     def save_checkpoint(self, path: str):
         """Snapshot the full estimator state to one .npz file."""
+        if getattr(self, "_pipe_q", None):
+            self.flush()              # sync device residents -> mirrors
         fm = self.fm
         prior = jax.tree.map(np.asarray, self.prior)
         pres = jax.tree.map(np.asarray, self._pres)

@@ -48,6 +48,11 @@ class FeatureManager:
         self.inv_depth = np.full(L, 1.0 / DEFAULT_DEPTH)
         self.depth_valid = np.zeros(L, bool)
         self._id_to_slot: dict = {}
+        # per-frame lifecycle deltas for the pipelined estimator's
+        # device-resident masks (slots allocated this frame / slots
+        # killed by host-side slide bookkeeping)
+        self.last_new_slots = np.zeros(L, bool)
+        self.last_slide_dead = np.zeros(L, bool)
 
     # ------------------------------------------------------------------
     # frame ingestion
@@ -62,6 +67,7 @@ class FeatureManager:
         """
         last_track_num = 0
         new_count = 0
+        self.last_new_slots = np.zeros(self.capacity, bool)
         for fid, (pl, vl, pr, vr) in feats.items():
             slot = self._id_to_slot.get(fid)
             if slot is None:
@@ -72,6 +78,7 @@ class FeatureManager:
                 self.active[slot] = True
                 self.feature_id[slot] = fid
                 self.start_frame[slot] = frame
+                self.last_new_slots[slot] = True
                 new_count += 1
             else:
                 last_track_num += 1
@@ -296,6 +303,7 @@ class FeatureManager:
 
         # drop landmarks with no remaining obs
         dead = self.active & ~self.has_obs.any(axis=1)
+        self.last_slide_dead = dead.copy()
         self._remove_slots(np.flatnonzero(dead))
 
     def slide_new(self):
@@ -312,4 +320,5 @@ class FeatureManager:
         self.has_obs[:, f_new] = False
         self.has_right[:, f_new] = False
         dead = self.active & ~self.has_obs.any(axis=1)
+        self.last_slide_dead = dead.copy()
         self._remove_slots(np.flatnonzero(dead))
