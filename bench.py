@@ -40,7 +40,7 @@ def main():
 
     ba = ba_problems.build(num_frames=11, num_landmarks=900,
                            obs_capacity=8192, lm_capacity=1024,
-                           pixel_noise=0.5, seed=0, dtype=jnp.float64)
+                           pixel_noise=0.5, seed=0)
 
     # re-preintegrate with the f32 noise model, cast problem to f32
     def cast(x):
@@ -53,7 +53,7 @@ def main():
     seq = ba.seq
     F = 11
     ipf = round(float((seq.imu_times.shape[0] - 1) / (F - 1)))
-    zeros = jnp.zeros(3, dtype=jnp.float64)
+    zeros = jnp.zeros(3)
 
     def edge(k):
         a, b = k * ipf, (k + 1) * ipf
@@ -92,12 +92,15 @@ def main():
 
     iters_per_s = ITERS * reps / (t1 - t0)
 
-    # secondary: end-to-end estimator frame loop (steady-state megastep)
-    # skipped when the primary bench already ate the time budget (slow
-    # remote compiles) or when DV_BENCH_FAST is set
+    # secondary: end-to-end estimator frame loop. Pipelined steady state
+    # (device-resident window; frame k+1 dispatches without waiting on
+    # frame k) measured as throughput over the steady-state frames; the
+    # sequential megastep's latency recorded alongside. Skipped when the
+    # primary bench already ate the time budget (cold remote compiles —
+    # the persistent cache makes reruns warm) or under DV_BENCH_FAST.
     import os
-    e2e_ms = e2e_ate = None
-    t_budget_ok = (time.perf_counter() - t_script0) < 300.0
+    e2e_ms = e2e_ate = e2e_seq_ms = None
+    t_budget_ok = (time.perf_counter() - t_script0) < 420.0
     try:
         if os.environ.get("DV_BENCH_FAST") or not t_budget_ok:
             raise RuntimeError("skip e2e")
@@ -106,7 +109,7 @@ def main():
         from dynamic_vins_tpu.sim import frontend_sim
         from dynamic_vins_tpu.sim import synthetic as sim_mod
 
-        seq2 = sim_mod.generate_sequence(num_frames=30, imu_hz=200.0,
+        seq2 = sim_mod.generate_sequence(num_frames=42, imu_hz=200.0,
                                          acc_noise=0.05,
                                          gyr_noise=0.005,
                                          num_landmarks=250, seed=0)
@@ -116,20 +119,38 @@ def main():
                          np.asarray(rig.right_extrinsics()[0])])
         q_bc = np.stack([np.asarray(rig.q_bc),
                          np.asarray(rig.right_extrinsics()[1])])
-        est = Estimator(EstimatorConfig(num_frames=11, lm_capacity=512,
-                                        obs_capacity=8192), p_bc, q_bc)
-        est.set_initial_pose(
-            np.asarray(seq2.gt_p[0]), np.asarray(seq2.gt_q[0]),
-            np.asarray(sim_mod.state_at(seq2.frame_times[0])[2]))
-        times = []
-        outs = []
-        for frame, imu in fr2:
-            f_t0 = time.perf_counter()
-            outs.append(est.process_frame(frame, imu))
-            times.append(time.perf_counter() - f_t0)
-        e2e_ms = float(np.median(np.array(times[18:]) * 1000))
+
+        def drive(pipelined, n_frames=None):
+            est = Estimator(EstimatorConfig(
+                num_frames=11, lm_capacity=512, obs_capacity=8192,
+                pipelined=pipelined), p_bc, q_bc)
+            est.set_initial_pose(
+                np.asarray(seq2.gt_p[0]), np.asarray(seq2.gt_q[0]),
+                np.asarray(sim_mod.state_at(seq2.frame_times[0])[2]))
+            outs, times = [], []
+            frames = fr2 if n_frames is None else fr2[:n_frames]
+            for frame, imu in frames:
+                f_t0 = time.perf_counter()
+                o = est.process_frame(frame, imu)
+                times.append(time.perf_counter() - f_t0)
+                if o is not None:
+                    outs.append(o)
+            t_fl = time.perf_counter()
+            outs.extend(est.flush())
+            flush_s = time.perf_counter() - t_fl
+            return est, outs, times, flush_s
+
+        # warm the compiled graphs (init + steady state) then measure
+        drive(True, n_frames=16)
+        est, outs, times, flush_s = drive(True)
+        n_steady = len(times) - 18
+        e2e_ms = float((sum(times[18:]) + flush_s) / n_steady * 1000)
         e2e_ate = frontend_sim.ate_rmse(
-            np.stack([o.p for o in outs]), np.asarray(seq2.gt_p))
+            np.stack([o.p for o in outs]),
+            np.stack([np.asarray(sim_mod.state_at(o.timestamp)[0])
+                      for o in outs]))
+        _, _, times_s, _ = drive(False)
+        e2e_seq_ms = float(np.median(np.array(times_s[18:]) * 1000))
     except Exception:
         pass
 
@@ -174,6 +195,8 @@ def main():
                                     if lk_ms is not None else None),
             "e2e_ms_per_frame": (round(e2e_ms, 1)
                                  if e2e_ms is not None else None),
+            "e2e_seq_ms_per_frame": (round(e2e_seq_ms, 1)
+                                     if e2e_seq_ms is not None else None),
             "e2e_ate_m": (round(float(e2e_ate), 4)
                           if e2e_ate is not None else None),
         },

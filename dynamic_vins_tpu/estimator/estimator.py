@@ -89,7 +89,9 @@ class Estimator:
                  noise: pre.ImuNoise = pre.ImuNoise()):
         self.cfg = config
         F = config.num_frames
-        dt = config.dtype
+        # f64 requests truncate (with a warning) when x64 is off; make
+        # the truncation explicit so device code traces warning-free
+        dt = jax.dtypes.canonicalize_dtype(config.dtype)
         self.fm = FeatureManager(num_frames=F, capacity=config.lm_capacity,
                                  obs_capacity=config.obs_capacity)
         # the window state lives HOST-SIDE as numpy (single mutation site
@@ -138,7 +140,7 @@ class Estimator:
             from dynamic_vins_tpu.estimator.ex_rotation import (
                 ExRotationCalibrator)
 
-            self.ex_calib = ExRotationCalibrator(dtype=config.dtype)
+            self.ex_calib = ExRotationCalibrator(dtype=dt)
 
         self.im = None
         if config.dynamic:
@@ -146,7 +148,7 @@ class Estimator:
                 InstanceConfig, InstanceManager)
 
             self.im = InstanceManager(InstanceConfig(
-                num_frames=F, dtype=config.dtype))
+                num_frames=F, dtype=dt))
 
     # ------------------------------------------------------------------
     # jitted device stages
@@ -1585,7 +1587,8 @@ class Estimator:
     # ------------------------------------------------------------------
     def _build_problem(self):
         cfg = self.cfg
-        obs, lm_valid = self.fm.build_obs_table(cfg.dtype)
+        obs, lm_valid = self.fm.build_obs_table(
+            jax.dtypes.canonicalize_dtype(cfg.dtype))
         pres = self._pres
         E = cfg.num_frames - 1
         imu_valid = jnp.asarray(

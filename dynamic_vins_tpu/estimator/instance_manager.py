@@ -118,7 +118,7 @@ class InstanceManager:
             off += n
         self._ob_isize = off
         self._ob_foff, self._ob_ioff = foff, ioff
-        dt = cfg.dtype
+        dt = jax.dtypes.canonicalize_dtype(cfg.dtype)
 
         def _solve_packed_body(fblob, iblob):
             fs = lambda n, *shape: fblob[foff[n][0]:foff[n][1]] \
@@ -394,7 +394,7 @@ class InstanceManager:
         cfg = self.cfg
         O, F, Lo = cfg.max_objects, cfg.num_frames, cfg.lm_per_object
         No = cfg.obs_per_object
-        dt = cfg.dtype
+        dt = jax.dtypes.canonicalize_dtype(cfg.dtype)
 
         obs_frame = np.zeros((O, No), np.int32)
         obs_cam = np.zeros((O, No), np.int32)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from dynamic_vins_tpu.geometry import lie, lines
 from dynamic_vins_tpu.solver import layout
+from dynamic_vins_tpu.utils import precision
 
 LINE_SQRT_INFO = 460.0 / 1.5
 
@@ -35,7 +36,8 @@ class LineObs(NamedTuple):
     valid: jnp.ndarray     # [N]
 
     @classmethod
-    def empty(cls, n: int, dtype=jnp.float64):
+    def empty(cls, n: int, dtype=None):
+        dtype = dtype or precision.default_float()
         zi = jnp.zeros((n,), jnp.int32)
         z3 = jnp.zeros((n, 3), dtype).at[:, 2].set(1.0)
         return cls(zi, zi, zi, z3, z3, jnp.zeros((n,), bool))

@@ -18,6 +18,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from dynamic_vins_tpu.solver import layout
+from dynamic_vins_tpu.utils import precision
 
 
 class MarginalPrior(NamedTuple):
@@ -27,7 +28,8 @@ class MarginalPrior(NamedTuple):
     valid: jnp.ndarray              # [] bool — whether a prior exists
 
     @classmethod
-    def empty(cls, num_frames: int = layout.NUM_FRAMES, dtype=jnp.float64):
+    def empty(cls, num_frames: int = layout.NUM_FRAMES, dtype=None):
+        dtype = dtype or precision.default_float()
         D = layout.cam_dim(num_frames)
         return cls(layout.WindowState.identity(num_frames, dtype),
                    jnp.zeros((D, D), dtype), jnp.zeros((D,), dtype),

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from dynamic_vins_tpu.geometry import lie
 from dynamic_vins_tpu.solver import layout
+from dynamic_vins_tpu.utils import precision
 
 # sqrt information of the pixel noise, normalized-plane units:
 # FOCAL_LENGTH / 1.5 (estimator.cpp:685 — sqrt_info = F/1.5 * I2)
@@ -49,7 +50,8 @@ class ProjObs(NamedTuple):
     valid: jnp.ndarray     # [N] bool
 
     @classmethod
-    def empty(cls, n: int, dtype=jnp.float64):
+    def empty(cls, n: int, dtype=None):
+        dtype = dtype or precision.default_float()
         zi = jnp.zeros((n,), jnp.int32)
         z3 = jnp.zeros((n, 3), dtype)
         z3 = z3.at[:, 2].set(1.0)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,6 +21,7 @@ from dynamic_vins_tpu.geometry import lie
 from dynamic_vins_tpu.imu import preintegration as pre
 from dynamic_vins_tpu.sim import synthetic as sim
 from dynamic_vins_tpu.solver import gauss_newton as gn
+from dynamic_vins_tpu.utils import precision
 from dynamic_vins_tpu.solver import layout
 
 
@@ -35,7 +37,9 @@ def build(num_frames: int = 6, num_landmarks: int = 120,
           pixel_noise: float = 0.0, seed: int = 0,
           imu_hz: float = 200.0, frame_hz: float = 10.0,
           stereo: bool = True, fix_first_pose: bool = True,
-          dtype=jnp.float64) -> SyntheticBA:
+          dtype=None) -> SyntheticBA:
+    dtype = dtype or precision.default_float()
+    dtype = jax.dtypes.canonicalize_dtype(dtype)
     seq = sim.generate_sequence(num_frames=num_frames, frame_hz=frame_hz,
                                 imu_hz=imu_hz,
                                 num_landmarks=num_landmarks,
@@ -124,7 +128,6 @@ def build(num_frames: int = 6, num_landmarks: int = 120,
                                 jnp.diff(seq.imu_times[a:b + 1]),
                                 zeros, zeros)
 
-    import jax
 
     pres = jax.tree.map(lambda *xs: jnp.stack(xs),
                         *[edge(k) for k in range(F - 1)])

@@ -100,7 +100,8 @@ class StereoRig(NamedTuple):
     height: int = 480
 
     @classmethod
-    def default(cls, dtype=jnp.float64):
+    def default(cls, dtype=None):
+        dtype = jax.dtypes.canonicalize_dtype(dtype or jnp.float64)
         intr = PinholeIntrinsics.make(458.65, 457.30, 367.2, 248.4,
                                       dtype=dtype)
         # camera looks forward along body +x: R_bc maps cam z->body x,
@@ -158,7 +159,8 @@ def generate_sequence(num_frames: int = 40, frame_hz: float = 10.0,
                       acc_bias=(0.0, 0.0, 0.0), gyr_bias=(0.0, 0.0, 0.0),
                       seed: int = 0,
                       params: TrajectoryParams = TrajectoryParams(),
-                      dtype=jnp.float64) -> SyntheticSequence:
+                      dtype=None) -> SyntheticSequence:
+    dtype = jax.dtypes.canonicalize_dtype(dtype or jnp.float64)
     rng = np.random.default_rng(seed)
     frame_times = jnp.arange(num_frames, dtype=dtype) / frame_hz
     imu_per_frame = int(round(imu_hz / frame_hz))

@@ -21,6 +21,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from dynamic_vins_tpu.geometry import lie
+from dynamic_vins_tpu.utils import precision
 
 # Reference constants (parameters.h:42-44, vio_parameters.h:25-33)
 WINDOW_SIZE = 10          # keyframes; states = WINDOW_SIZE + 1
@@ -87,7 +88,8 @@ class WindowState(NamedTuple):
         return self.p.shape[0]
 
     @classmethod
-    def identity(cls, num_frames: int = NUM_FRAMES, dtype=jnp.float64):
+    def identity(cls, num_frames: int = NUM_FRAMES, dtype=None):
+        dtype = dtype or precision.default_float()
         qid = jnp.tile(lie.quat_identity(dtype), (num_frames, 1))
         qbc = jnp.tile(lie.quat_identity(dtype), (2, 1))
         z3 = jnp.zeros((num_frames, 3), dtype)

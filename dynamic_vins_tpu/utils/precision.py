@@ -16,6 +16,11 @@ import functools
 import jax
 
 
+def default_float():
+    """float64 under x64, float32 otherwise (no truncation warning)."""
+    return jax.dtypes.canonicalize_dtype(jax.numpy.float64)
+
+
 def precise(fn):
     """Trace `fn` under float32 matmul precision."""
 
