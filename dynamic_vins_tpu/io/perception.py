@@ -183,3 +183,51 @@ def merge_masks(masks: np.ndarray, shape=None) -> np.ndarray:
             raise ValueError("need shape for empty mask set")
         return np.zeros(shape, bool)
     return np.any(masks, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Artifact WRITERS — inverse of the readers above, byte-compatible with
+# the reference's offline preprocessing outputs (scripts/python/
+# solov2_det2d_kitti.py, fcos3d_det3d_kitti.py, leastereo_kitti.py).
+# Used by tools/precompute.py to run the ONLINE nets once and serve the
+# results through the reference's own offline file formats.
+# ---------------------------------------------------------------------------
+_KITTI_TO_NUSCENES = {"Car": 0, "Truck": 1, "Tram": 3, "Cyclist": 5,
+                      "Pedestrian": 7}
+
+
+def write_solo_seg_pt(dir_path: str, seq: str, seg: SegResult) -> None:
+    """Dump a SegResult as `seg_label_{seq}.pt` / `cate_score_{seq}.pt`
+    / `cate_label_{seq}.pt` (the tensors detector2d.cpp:421-449 loads)."""
+    import torch
+
+    os.makedirs(dir_path, exist_ok=True)
+    torch.save(torch.from_numpy(np.asarray(seg.masks, np.uint8)),
+               os.path.join(dir_path, f"seg_label_{seq}.pt"))
+    torch.save(torch.from_numpy(np.asarray(seg.scores, np.float32)),
+               os.path.join(dir_path, f"cate_score_{seq}.pt"))
+    torch.save(torch.from_numpy(np.asarray(seg.labels, np.int64)),
+               os.path.join(dir_path, f"cate_label_{seq}.pt"))
+
+
+def write_fcos3d_txt(path: str, boxes: List[Box3D]) -> None:
+    """Per-frame `class score cx cy cz dx dy dz yaw` lines
+    (the format read_fcos3d_txt / detector3d.cpp:64 parses)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for b in boxes:
+            cid = _KITTI_TO_NUSCENES.get(b.class_name, 8)
+            c, d = b.bottom_center, b.dims
+            f.write(f"{cid} {b.score:.4f} {c[0]:.4f} {c[1]:.4f} "
+                    f"{c[2]:.4f} {d[0]:.4f} {d[1]:.4f} {d[2]:.4f} "
+                    f"{b.yaw:.4f}\n")
+
+
+def write_disparity_png(path: str, disp: np.ndarray) -> None:
+    """uint16 PNG with disp*256 (the LEAStereo convention
+    read_disparity_png / stereo.cpp:32-44 expects)."""
+    import cv2
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    q = np.clip(np.asarray(disp, np.float32) * 256.0, 0, 65535)
+    cv2.imwrite(path, q.astype(np.uint16))

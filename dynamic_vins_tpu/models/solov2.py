@@ -183,9 +183,13 @@ class OnlineDetector2D:
 
     def __init__(self, image_hw, num_classes: int = 80,
                  score_thresh: float = 0.3, max_dets: int = 32,
+                 grid_sizes: Sequence[int] = (36, 24, 16, 12),
+                 embed_dim: int = 64,
                  params_path: str | None = None, seed: int = 0,
                  dtype=jnp.float32):
-        self.model = Solov2(num_classes=num_classes, dtype=dtype)
+        self.model = Solov2(num_classes=num_classes,
+                            embed_dim=embed_dim,
+                            grid_sizes=tuple(grid_sizes), dtype=dtype)
         self.image_hw = tuple(image_hw)
         dummy = jnp.zeros((1,) + self.image_hw + (3,), dtype)
         self.params = self.model.init(jax.random.PRNGKey(seed), dummy)
@@ -225,5 +229,10 @@ def load_params(template, path: str):
     out = []
     for k, v in leaves:
         key = "/".join(map(str, k)).replace("[", "(").replace("]", ")")
-        out.append(jnp.asarray(data[key]) if key in data.files else v)
+        if key in data.files:
+            # shipped checkpoints may be stored float16/compressed;
+            # cast back to the model's compute dtype
+            out.append(jnp.asarray(data[key], dtype=v.dtype))
+        else:
+            out.append(v)
     return jax.tree_util.tree_unflatten(treedef, out)

@@ -322,7 +322,20 @@ def main(argv=None):
                     help="offline FCOS3D txt dir")
     ap.add_argument("--disp-dir", default=None,
                     help="offline LEAStereo disparity PNG dir")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (skip the TPU tunnel)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        # big-graph compiles through the tunneled TPU backend take
+        # minutes cold; the persistent cache makes reruns warm
+        import dynamic_vins_tpu
+
+        dynamic_vins_tpu.enable_compile_cache()
 
     if args.dataset == "synthetic":
         return run_synthetic(args)
