@@ -214,6 +214,16 @@ class Estimator:
         self._solve_lines = solve_lines
 
         @precise_jit
+        def refine_lines(state, line_orth, obs, line_valid):
+            from dynamic_vins_tpu.factors import line_factor
+
+            return line_factor.refine_orth(
+                state, line_orth, obs, line_valid,
+                huber_delta=scfg.huber_delta)
+
+        self._refine_lines = refine_lines
+
+        @precise_jit
         def line_scores(state, line_orth, obs):
             from dynamic_vins_tpu.factors import line_factor
 
@@ -849,7 +859,15 @@ class Estimator:
             self.add_imu_interval(acc, gyr, dts)
 
         self.timestamps[k] = frame.timestamp
-        is_keyframe = self.fm.add_features(k, frame.features)
+        feats = frame.features
+        if not cfg.stereo:
+            # mono mode (possibly toggled at runtime via
+            # change_sensor_type): drop right-camera observations at
+            # ingestion, like the reference front end does when
+            # cfg::is_stereo is off
+            feats = {fid: (pl, vl, None, None)
+                     for fid, (pl, vl, _pr, _vr) in feats.items()}
+        is_keyframe = self.fm.add_features(k, feats)
         if (self.ex_calib is not None and self.ex_calib.result is None
                 and k > 0 and cfg.use_imu):
             self._calibrate_ex_rotation(k)
@@ -1625,7 +1643,13 @@ class Estimator:
                 self.cfg.dtype)
             problem = problem._replace(line_obs=line_obs,
                                        line_valid=line_valid)
-            orth0 = jnp.array(self.lines.orth)
+            # line-only pre-optimization with poses fixed (the
+            # reference's OptimizationWithOnlyLine, estimator.cpp:1626):
+            # fresh triangulations reach the joint BA at a good
+            # linearization point
+            orth0 = self._refine_lines(
+                self._dev(self.state), jnp.array(self.lines.orth),
+                line_obs, line_valid)
             st, dep, orth, info = self._solve_lines(
                 self._dev(self.state), inv_depth, problem, orth0)
         else:
@@ -1957,3 +1981,39 @@ class Estimator:
         cfg = self.cfg
         p_bc, q_bc = self.state.p_bc.copy(), self.state.q_bc.copy()
         self.__init__(cfg, p_bc, q_bc, self.noise)
+
+    def change_sensor_type(self, use_imu: bool, use_stereo: bool) -> bool:
+        """Runtime sensor reconfiguration (reference
+        `Estimator::ChangeSensorType`, estimator.cpp:697-726, driven by
+        the /vins_imu_switch and /vins_cam_switch control topics).
+
+        Semantics mirror the reference: both sensors off is refused;
+        enabling the IMU requires a full restart (the window was built
+        without speed/bias states); disabling it drops the
+        marginalization prior (it conditions on speed/bias blocks that
+        are no longer estimated). Toggling stereo only gates whether
+        right-camera observations are ingested from this frame on.
+
+        Returns True if the request was applied.
+        """
+        cfg = self.cfg
+        if not use_imu and not use_stereo:
+            return False
+        restart = False
+        if cfg.use_imu != bool(use_imu):
+            cfg.use_imu = bool(use_imu)
+            if cfg.use_imu:
+                restart = True
+            else:
+                dt = jax.dtypes.canonicalize_dtype(cfg.dtype)
+                self.prior = prior_factor.MarginalPrior.empty(
+                    cfg.num_frames, dt)
+            if not restart:
+                # use_imu is baked statically into the solver jits
+                self._solver_cfg = self._solver_cfg._replace(
+                    use_imu=cfg.use_imu)
+                self._build_jits()
+        cfg.stereo = bool(use_stereo)
+        if restart:
+            self.reset()
+        return True

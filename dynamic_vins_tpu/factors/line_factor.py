@@ -103,3 +103,83 @@ def residual_only(state: layout.WindowState, line_orth, obs: LineObs,
 
     r = jax.vmap(one)(obs, line_orth[obs.line])
     return jnp.where(obs.valid[:, None], r, 0.0)
+
+
+def _residual_orth(dorth, row, state, orth_row, sqrt_info):
+    """Residual as a function of the 4-dof orth update only (poses fixed)."""
+    delta = jnp.concatenate([jnp.zeros((12,), dorth.dtype), dorth])
+    return _residual_local(delta, row, state, orth_row, sqrt_info)
+
+
+def refine_orth(state: layout.WindowState, line_orth, obs: LineObs,
+                line_valid, iters: int = 5, huber_delta: float = 1.0,
+                damping: float = 1e-4, sqrt_info: float = LINE_SQRT_INFO):
+    """Line-only optimization with the window poses held fixed.
+
+    Capability parity with the reference's `OptimizationWithOnlyLine`
+    (`estimator/estimator.cpp:345-400`): freshly triangulated lines get
+    their orthonormal parameters refined against all their observations
+    before entering the joint BA, so the joint solve starts from a good
+    linearization point. With poses fixed every line is independent, so
+    this is a vmapped damped Gauss-Newton over [Lc, 4, 4] blocks — one
+    batched 4x4 solve per iteration, fully parallel on the TPU (the
+    reference runs a whole separate Ceres problem for this).
+
+    Returns the refined [Lc, 4] orth array; invalid slots pass through.
+    """
+    from dynamic_vins_tpu.solver.gauss_newton import (_huber_cost,
+                                                      _huber_weight)
+
+    Lc = line_orth.shape[0]
+    dtype = line_orth.dtype
+    valid = obs.valid & line_valid[obs.line]
+    wv = valid.astype(dtype)
+    eye4 = jnp.eye(4, dtype=dtype)
+
+    def per_line_cost(orth):
+        r = jax.vmap(lambda row, o: _residual_orth(
+            jnp.zeros((4,), dtype), row, state, o, sqrt_info))(
+                obs, orth[obs.line])
+        r2 = jnp.sum(r * r, axis=-1)
+        c = _huber_cost(r2, huber_delta) * wv
+        return jax.ops.segment_sum(c, obs.line, num_segments=Lc)
+
+    def step(carry, _):
+        orth, cost = carry
+
+        def one(row, orth_row):
+            z = jnp.zeros((4,), dtype)
+            r = _residual_orth(z, row, state, orth_row, sqrt_info)
+            J = jax.jacrev(_residual_orth)(z, row, state, orth_row,
+                                           sqrt_info)
+            return r, J
+
+        r, J = jax.vmap(one)(obs, orth[obs.line])
+        r = jnp.where(valid[:, None], r, 0.0)
+        J = jnp.where(valid[:, None, None], J, 0.0)
+        w = _huber_weight(jnp.sum(r * r, axis=-1), huber_delta)
+        r = r * w[:, None]
+        J = J * w[:, None, None]
+
+        H = jax.ops.segment_sum(
+            jnp.einsum("nri,nrj->nij", J, J), obs.line, num_segments=Lc)
+        g = jax.ops.segment_sum(
+            jnp.einsum("nri,nr->ni", J, r), obs.line, num_segments=Lc)
+        dg = jnp.diagonal(H, axis1=-2, axis2=-1)
+        H = H + (damping * dg + 1e-8)[..., None] * eye4
+        # lines with no observations get identity blocks (delta = 0)
+        has_obs = jax.ops.segment_sum(wv, obs.line, num_segments=Lc) > 0
+        ok = has_obs & line_valid
+        H = jnp.where(ok[:, None, None], H, eye4)
+        g = jnp.where(ok[:, None], g, 0.0)
+        delta = -jnp.linalg.solve(H, g[..., None])[..., 0]
+        cand = lines.orth_boxplus(orth, delta)
+        new_cost = per_line_cost(cand)
+        better = ok & (new_cost < cost) & jnp.isfinite(new_cost)
+        out = jnp.where(better[:, None], cand, orth)
+        return (out, jnp.where(better, new_cost, cost)), better
+
+    cost0 = per_line_cost(line_orth)
+    (orth, _), _ = jax.lax.scan(step, (line_orth, cost0), None,
+                                length=iters)
+    return orth

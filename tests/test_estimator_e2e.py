@@ -77,3 +77,47 @@ def test_megastep_matches_multidispatch():
     assert np.allclose(p_fast, p_ref, atol=5e-4), \
         np.abs(p_fast - p_ref).max()
     assert abs(ate_fast - ate_ref) < 5e-4
+
+
+def test_change_sensor_type():
+    """Runtime sensor switching (ChangeSensorType parity,
+    estimator.cpp:697-726)."""
+    seq = sim.generate_sequence(num_frames=16, imu_hz=200.0,
+                                acc_noise=0.02, gyr_noise=0.002,
+                                num_landmarks=250, seed=0)
+    frames = frontend_sim.make_frames(seq, pixel_noise=0.3)
+    rig = seq.rig
+    p_bc = np.stack([np.asarray(rig.p_bc),
+                     np.asarray(rig.right_extrinsics()[0])])
+    q_bc = np.stack([np.asarray(rig.q_bc),
+                     np.asarray(rig.right_extrinsics()[1])])
+    cfg = EstimatorConfig(num_frames=6, lm_capacity=384,
+                          obs_capacity=6144)
+    est = Estimator(cfg, p_bc, q_bc)
+    est.set_initial_pose(np.asarray(seq.gt_p[0]), np.asarray(seq.gt_q[0]),
+                         np.asarray(sim.state_at(seq.frame_times[0])[2]))
+
+    # both off refused
+    assert not est.change_sensor_type(False, False)
+    assert est.cfg.use_imu and est.cfg.stereo
+
+    outs = []
+    for i, (frame, imu) in enumerate(frames):
+        if i == 8:
+            # stereo -> mono mid-run: right obs stop being ingested
+            assert est.change_sensor_type(True, False)
+            before = est.fm.has_right[:, :].sum()
+        out = est.process_frame(frame, imu)
+        outs.append(out)
+        if i == 8:
+            k = min(est.frame_count - 1, cfg.num_frames - 1)
+            assert not est.fm.has_right[:, k].any()
+    assert not est.failed
+    assert est.initialized
+
+    # IMU off: prior dropped, keeps running visual-only
+    assert est.change_sensor_type(False, True)
+    assert not bool(est.prior.valid)
+    # IMU back on: full restart
+    assert est.change_sensor_type(True, True)
+    assert est.frame_count == 0 and not est.initialized

@@ -171,3 +171,37 @@ def test_line_triangulation_two_view(rng):
     r_est = float(jnp.linalg.norm(n_w) / jnp.linalg.norm(d_w))
     r_gt = float(jnp.linalg.norm(n_g) / jnp.linalg.norm(d_g))
     np.testing.assert_allclose(r_est, r_gt, rtol=1e-6)
+
+
+def test_refine_orth_poses_fixed(rng):
+    """Line-only pre-optimization (OptimizationWithOnlyLine parity):
+    perturbed lines must snap back to ground truth with poses fixed."""
+    from dynamic_vins_tpu.factors import line_factor
+
+    seq, obs_rows, orth_gt, n_lines = _make_line_world(rng, 80)
+    ba = ba_problems.build(num_frames=4, num_landmarks=40)
+    Lc = 64
+    obs = LineObs.empty(256)
+    for i, (fj, cj, sl, s, e) in enumerate(obs_rows):
+        obs = obs._replace(
+            frame_j=obs.frame_j.at[i].set(fj),
+            cam_j=obs.cam_j.at[i].set(cj),
+            line=obs.line.at[i].set(sl),
+            s=obs.s.at[i].set(s), e=obs.e.at[i].set(e),
+            valid=obs.valid.at[i].set(True))
+    orth_true = jnp.zeros((Lc, 4), jnp.float64)
+    orth_true = orth_true.at[:n_lines].set(jnp.asarray(orth_gt))
+    orth0 = lines.orth_boxplus(
+        orth_true, jnp.asarray(rng.normal(scale=0.02, size=(Lc, 4))))
+    line_valid = jnp.arange(Lc) < n_lines
+
+    r0 = line_factor.residual_only(ba.gt_state, orth0, obs)
+    orth = line_factor.refine_orth(ba.gt_state, orth0, obs, line_valid,
+                                   iters=8)
+    r1 = line_factor.residual_only(ba.gt_state, orth, obs)
+    m0 = float(jnp.mean(jnp.abs(r0)))
+    m1 = float(jnp.mean(jnp.abs(r1)))
+    assert m1 < m0 * 1e-2, (m0, m1)
+    # invalid slots pass through untouched
+    np.testing.assert_allclose(np.asarray(orth[n_lines:]),
+                               np.asarray(orth0[n_lines:]))
