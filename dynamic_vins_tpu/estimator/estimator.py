@@ -63,6 +63,7 @@ class EstimatorConfig:
     use_line: bool = False          # LinePoint mode (PL-VINS capability)
     line_capacity: int = 64
     line_obs_capacity: int = 512
+    line_weight: float = 1.0        # line-vs-point factor weight
     dtype: object = jnp.float64
 
 
@@ -123,7 +124,8 @@ class Estimator:
 
         self._solver_cfg = gn.SolverConfig(
             max_iters=config.max_iters, use_imu=config.use_imu,
-            huber_delta=config.huber_delta)
+            huber_delta=config.huber_delta,
+            line_weight=config.line_weight)
         self._build_jits()
         self._pres = self._preintegrate_all()   # per-edge cache
 

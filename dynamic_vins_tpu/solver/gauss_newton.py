@@ -53,6 +53,10 @@ class SolverConfig(NamedTuple):
     huber_delta: float = 1.0          # on whitened projection residuals
     use_imu: bool = True
     ridge: float = 1e-8
+    # relative weight of line factors vs points (scales LINE_SQRT_INFO);
+    # <1 de-emphasizes lines in point-rich scenes (tuned default: see
+    # tests/test_line_e2e.py)
+    line_weight: float = 1.0
 
 
 def _huber_weight(r2, delta):
@@ -126,8 +130,9 @@ def _line_normal_equations(state, line_orth, problem, config, D):
 
     Lc = line_orth.shape[0]
     dtype = state.p.dtype
-    r_l, j_cam, j_orth, cols = line_factor.evaluate(state, line_orth,
-                                                    problem.line_obs)
+    r_l, j_cam, j_orth, cols = line_factor.evaluate(
+        state, line_orth, problem.line_obs,
+        sqrt_info=line_factor.LINE_SQRT_INFO * config.line_weight)
     valid = problem.line_obs.valid & problem.line_valid[
         problem.line_obs.line]
     r_l = jnp.where(valid[:, None], r_l, 0.0)
@@ -256,8 +261,9 @@ def total_cost(state: layout.WindowState, inv_depth, problem: BAProblem,
     if problem.line_obs is not None and line_orth is not None:
         from dynamic_vins_tpu.factors import line_factor
 
-        r_l = line_factor.residual_only(state, line_orth,
-                                        problem.line_obs)
+        r_l = line_factor.residual_only(
+            state, line_orth, problem.line_obs,
+            sqrt_info=line_factor.LINE_SQRT_INFO * config.line_weight)
         lvalid = problem.line_obs.valid & problem.line_valid[
             problem.line_obs.line]
         lr2 = jnp.sum(r_l * r_l, axis=-1)

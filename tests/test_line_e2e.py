@@ -79,8 +79,10 @@ def test_linepoint_mode_e2e():
     est_p = np.stack([o.p for o in outs])
     ate = frontend_sim.ate_rmse(est_p, np.asarray(seq.gt_p))
     # NOTE: in point-rich synthetic scenes world-frame lines add a
-    # small drag (7-8 cm vs 4.4 points-only); their value is in
-    # point-poor scenes (see estimator/line_manager.py gating)
+    # small drag (5.7 cm vs 4.4 points-only at line_weight=1.0;
+    # 4.7 cm at line_weight=0.2 — see test_line_weight_scales_line_cost
+    # for the measured sweep); their value is in point-poor scenes
+    # (see estimator/line_manager.py gating)
     assert ate < 0.09, f"ATE {ate}"
 
     # triangulated line directions match ground truth

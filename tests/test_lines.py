@@ -205,3 +205,42 @@ def test_refine_orth_poses_fixed(rng):
     # invalid slots pass through untouched
     np.testing.assert_allclose(np.asarray(orth[n_lines:]),
                                np.asarray(orth0[n_lines:]))
+
+
+def test_line_weight_scales_line_cost(rng):
+    """SolverConfig.line_weight scales line residuals (and only them):
+    measured trade-off on the synthetic e2e protocols (round 2 sweep) —
+    point-rich (120 lm): w=1.0 ATE 5.7cm -> w=0.2 4.7cm;
+    point-poor (25 lm): w=1.0 2.9cm -> w=0.2 4.5cm. Default stays 1.0
+    (reference parity; lines matter most point-poor)."""
+    seq, obs_rows, orth_gt, n_lines = _make_line_world(rng, 40)
+    ba = ba_problems.build(num_frames=4, num_landmarks=40)
+    Lc = 64
+    obs = LineObs.empty(256)
+    for i, (fj, cj, sl, s, e) in enumerate(obs_rows):
+        obs = obs._replace(
+            frame_j=obs.frame_j.at[i].set(fj),
+            cam_j=obs.cam_j.at[i].set(cj),
+            line=obs.line.at[i].set(sl),
+            s=obs.s.at[i].set(s), e=obs.e.at[i].set(e),
+            valid=obs.valid.at[i].set(True))
+    orth = jnp.zeros((Lc, 4), jnp.float64)
+    orth = orth.at[:n_lines].set(jnp.asarray(orth_gt))
+    # tiny perturbation: stay inside the Huber quadratic region so the
+    # line cost scales exactly with line_weight^2
+    orth = lines.orth_boxplus(
+        orth, jnp.asarray(rng.normal(scale=1e-5, size=(Lc, 4))))
+    line_valid = jnp.arange(Lc) < n_lines
+    problem = ba.problem._replace(line_obs=obs, line_valid=line_valid)
+
+    def line_cost(w):
+        cfg = gn.SolverConfig(use_imu=True, line_weight=w)
+        full = gn.total_cost(ba.gt_state, ba.gt_inv_depth, problem, cfg,
+                             line_orth=orth)
+        base = gn.total_cost(ba.gt_state, ba.gt_inv_depth,
+                             problem._replace(line_obs=None), cfg)
+        return float(full - base)
+
+    c1, c05 = line_cost(1.0), line_cost(0.5)
+    assert c1 > 0
+    np.testing.assert_allclose(c05, 0.25 * c1, rtol=1e-6)
