@@ -67,6 +67,7 @@ class System:
                                         *(intr_r_vals[4:8] or []),
                                         dtype=jnp.float32)
         self.intr = intr
+        self.intr_r = intr_r
 
         p_bc, q_bc = cfg.extrinsics()
         self.baseline = float(np.linalg.norm(p_bc[1] - p_bc[0])) or 0.1
@@ -74,6 +75,15 @@ class System:
         self.tracker = FeatureTracker(
             TrackerConfig(max_cnt=cfg.max_cnt, min_dist=cfg.min_dist,
                           stereo=cfg.is_stereo), intr, intr_r)
+        # LinePoint mode (reference: TrackImageLine/TrackSemanticImage
+        # spawn the line-detection thread, background_tracker.cpp:198,
+        # 775-780; here the LSD tracker runs in the frontend stage and
+        # its normalized endpoints ride FrameFeatures.lines)
+        self.line_tracker = None
+        if cfg.use_line:
+            from dynamic_vins_tpu.frontend.line_tracker import (
+                LineTracker, LineTrackerConfig)
+            self.line_tracker = LineTracker(LineTrackerConfig())
         self.estimator = Estimator(
             EstimatorConfig(num_frames=cfg.num_frames,
                             stereo=cfg.is_stereo, use_imu=cfg.use_imu,
@@ -81,6 +91,8 @@ class System:
                             estimate_extrinsic=cfg.estimate_extrinsic,
                             estimate_td=cfg.estimate_td,
                             use_plane_constraint=cfg.use_plane_constraint,
+                            use_line=cfg.use_line,
+                            line_weight=cfg.line_weight,
                             dynamic=cfg.slam == SlamMode.DYNAMIC),
             p_bc, q_bc)
 
@@ -159,6 +171,13 @@ class System:
             feats = self.tracker.track(fi.img_left, fi.timestamp,
                                        mask=background_mask,
                                        img_right=fi.img_right)
+            if self.line_tracker is not None:
+                segs, right = self.line_tracker.track(
+                    np.asarray(fi.img_left), mask=background_mask,
+                    img_right=(np.asarray(fi.img_right)
+                               if fi.img_right is not None else None))
+                feats = feats._replace(
+                    lines=self._lines_to_obs(segs, right))
 
         # ---- instance tracking ----------------------------------------
         instances = None
@@ -247,6 +266,37 @@ class System:
                 merged |= masks[det_i]
         background = ~merged if masks_by_tid else None
         return masks_by_tid, background
+
+    def _lines_to_obs(self, segs, right):
+        """Pixel line segments -> {id: (s_l, e_l, s_r|None, e_r|None)}
+        with normalized z=1 endpoints (the estimator's line format)."""
+        from dynamic_vins_tpu.geometry import camera as cam
+        if not segs:
+            return {}
+        uv = np.array([[[s.sx, s.sy], [s.ex, s.ey]] for s in segs],
+                      np.float32).reshape(-1, 2)
+        n = np.asarray(cam.normalized_from_pixel(
+            self.intr, jnp.asarray(uv))).reshape(len(segs), 2, 2)
+        n_r = {}
+        if right:
+            r_ids = list(right.keys())
+            uv_r = np.array(
+                [[[right[i].sx, right[i].sy], [right[i].ex, right[i].ey]]
+                 for i in r_ids], np.float32).reshape(-1, 2)
+            nr = np.asarray(cam.normalized_from_pixel(
+                self.intr_r, jnp.asarray(uv_r))).reshape(len(r_ids), 2, 2)
+            n_r = {i: nr[k] for k, i in enumerate(r_ids)}
+        obs = {}
+        for k, seg in enumerate(segs):
+            sl = np.append(n[k, 0], 1.0)
+            el = np.append(n[k, 1], 1.0)
+            if seg.id in n_r:
+                sr = np.append(n_r[seg.id][0], 1.0)
+                er = np.append(n_r[seg.id][1], 1.0)
+            else:
+                sr = er = None
+            obs[seg.id] = (sl, el, sr, er)
+        return obs
 
     def _match_box3d(self, bbox2d, boxes3d):
         """Nearest 3D detection by projected center (IoU gate in the

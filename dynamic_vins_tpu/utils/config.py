@@ -43,6 +43,7 @@ class VioConfig:
     is_stereo: bool = True                         # 'is_stereo'
     use_imu: bool = True                           # 'imu'
     use_line: bool = False                         # 'use_line'
+    line_weight: float = 1.0                       # line-vs-point weight
     use_det3d: bool = False                        # 'use_det3d'
     use_dst: bool = False                          # MOT-only mode
     use_plane_constraint: bool = False             # 'use_plane'
@@ -114,6 +115,7 @@ class VioConfig:
             "is_stereo": ("is_stereo", bool),
             "imu": ("use_imu", lambda v: bool(int(v))),
             "use_line": ("use_line", lambda v: bool(int(v))),
+            "line_weight": ("line_weight", float),
             "use_det3d": ("use_det3d", lambda v: bool(int(v))),
             "use_dst": ("use_dst", lambda v: bool(int(v))),
             "use_plane": ("use_plane_constraint", lambda v: bool(int(v))),

@@ -125,3 +125,71 @@ def test_system_online_perception_smoke(tmp_path):
         sysm.process(FrameInput(0.1 * k, img, img))
     assert sysm.last_flow is None or sysm.last_flow.shape == (H, W, 2)
     sysm.close()
+
+
+def test_system_linepoint_mode_smoke(tmp_path):
+    """use_line wires the LSD line tracker into the frontend and its
+    normalized endpoints into the estimator (TrackImageLine parity,
+    background_tracker.cpp:198)."""
+    cv2 = pytest.importorskip("cv2")
+    cfg, rig = _make_cfg()
+    cfg.use_line = True
+    seq = sim.generate_sequence(num_frames=6, imu_hz=200.0,
+                                num_landmarks=200, seed=4)
+    seq = seq._replace(rig=rig)
+    inten = render.make_intensities(200, seed=4)
+    from dynamic_vins_tpu.sim import frontend_sim
+    frames_imu = frontend_sim.make_frames(seq)
+
+    # world line segments rendered as bright pixel segments
+    rng = np.random.default_rng(5)
+    centers = np.asarray(sim.make_landmarks(12, seed=7))
+    d = rng.normal(size=(12, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    s_w, e_w = centers - d, centers + d
+
+    from dynamic_vins_tpu.geometry import camera as camg, lie
+
+    def draw_lines(img, k, cam_idx):
+        extr = [(rig.p_bc, rig.q_bc), rig.right_extrinsics()][cam_idx]
+        p_wc, q_wc = lie.pose_compose(seq.gt_p[k], seq.gt_q[k],
+                                      extr[0], extr[1])
+        p_cw, q_cw = lie.pose_inverse(p_wc, q_wc)
+        img = np.ascontiguousarray(img.astype(np.uint8))
+        for l in range(len(s_w)):
+            pts = []
+            for w in (s_w[l], e_w[l]):
+                pc = np.asarray(lie.pose_transform_point(
+                    p_cw, q_cw, jnp.asarray(w)))
+                if pc[2] < 0.5:
+                    break
+                uv = np.asarray(camg.pixel_from_normalized(
+                    rig.intr, jnp.asarray(pc[:2] / pc[2])))
+                pts.append(tuple(np.round(uv).astype(int)))
+            if len(pts) == 2:
+                cv2.line(img, pts[0], pts[1], 255, 2)
+        return img
+
+    sysm = System(cfg, output_prefix=str(tmp_path / "run"))
+    assert sysm.line_tracker is not None
+    sysm.estimator.set_initial_pose(
+        np.asarray(seq.gt_p[0]), np.asarray(seq.gt_q[0]),
+        np.asarray(sim.state_at(seq.frame_times[0])[2]))
+    import jax
+
+    render_jit = jax.jit(
+        lambda p, q, c: render.render_frame(rig, p, q, seq.landmarks,
+                                            inten, cam=c),
+        static_argnums=2)
+    for k in range(6):
+        img_l = draw_lines(np.asarray(
+            render_jit(seq.gt_p[k], seq.gt_q[k], 0)), k, 0)
+        img_r = draw_lines(np.asarray(
+            render_jit(seq.gt_p[k], seq.gt_q[k], 1)), k, 1)
+        _, imu = frames_imu[k]
+        out = sysm.process(FrameInput(float(seq.frame_times[k]),
+                                      img_l, img_r, imu=imu))
+    assert not sysm.estimator.failed
+    # lines were detected, tracked, and stored in the estimator
+    assert sysm.estimator.lines is not None
+    assert sysm.estimator.lines.active.sum() > 0
