@@ -100,3 +100,22 @@ def draw_top_view(traj_ego, instances: Optional[Dict] = None,
             cv2.putText(img, str(tid), to_px(s["p"][:2]),
                         cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 0, 0), 1)
     return img
+
+
+def draw_line_tracks(img, segs, radius: int = 2):
+    """Tracked line-segment overlay (PubLines / the reference's line
+    visualizers, line_detector.cpp visualize helpers): color is stable
+    per line id so tracks are visually continuous across frames."""
+    if cv2 is None:
+        return img
+    out = cv2.cvtColor(img.astype(np.uint8), cv2.COLOR_GRAY2BGR) \
+        if img.ndim == 2 else img.copy()
+    for seg in segs:
+        rng = np.random.default_rng(max(int(getattr(seg, "id", 0)), 0))
+        color = tuple(int(c) for c in rng.integers(60, 255, 3))
+        a = (int(round(seg.sx)), int(round(seg.sy)))
+        b = (int(round(seg.ex)), int(round(seg.ey)))
+        cv2.line(out, a, b, color, 2)
+        cv2.circle(out, a, radius, color, -1)
+        cv2.circle(out, b, radius, color, -1)
+    return out

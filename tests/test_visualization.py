@@ -37,3 +37,18 @@ def test_top_view():
     img = viz.draw_top_view(traj, inst)
     assert img.shape == (600, 600, 3)
     assert (img != 255).any()
+
+
+def test_draw_line_tracks_stable_colors():
+    import pytest
+    pytest.importorskip("cv2")
+    from dynamic_vins_tpu.frontend.line_tracker import LineSeg
+    from dynamic_vins_tpu.io.visualization import draw_line_tracks
+    img = np.zeros((64, 64), np.uint8)
+    segs = [LineSeg(5.0, 5.0, 50.0, 20.0, id=3),
+            LineSeg(10.0, 40.0, 60.0, 42.0, id=7)]
+    out1 = draw_line_tracks(img, segs)
+    out2 = draw_line_tracks(img, segs)
+    assert out1.shape == (64, 64, 3)
+    assert out1.sum() > 0
+    np.testing.assert_array_equal(out1, out2)  # id-stable colors
