@@ -958,8 +958,14 @@ class Estimator:
             qbc = np.asarray(st.q_bc)[None, :, :]
             p_wc, q_wc = lie_np.pose_compose(p_np, q_np, pbc, qbc)
             p_cw, q_cw = lie_np.pose_inverse(p_wc, q_wc)
+            # reject against the previous frame's (synced) solution so
+            # the fresh solve below stays in flight across the frame
+            # boundary — one-frame-lagged outlier rejection, matching
+            # the reference's lagged backend→frontend feedback. Uses the
+            # CURRENT window's ego cam poses (the object tables have
+            # slid since the previous optimize captured its own).
+            im.reject_outliers(p_cw=p_cw, q_cw=q_cw)
             im.optimize(times, p_cw, q_cw)
-            im.reject_outliers()
         im.manage()
 
     def get_instance_states(self):

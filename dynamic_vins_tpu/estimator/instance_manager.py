@@ -89,9 +89,12 @@ class InstanceManager:
         self.det_valid = np.zeros((O, F), bool)
 
         self._tid_to_slot: Dict[int, int] = {}
-        self._solve = precise_jit(
-            lambda s, l, p, a: solve_all(s, l, p, cfg.solver, a))
-
+        # slot generation counter: bumped on alloc/free so an in-flight
+        # async solve never writes into a recycled slot
+        self.gen = np.zeros(O, np.int64)
+        self._pending = None          # in-flight device solve (async)
+        self._p_cw = None             # ego cam poses of the last solve
+        self._q_cw = None
         # packed-blob solve: 2 uploads + 1 fetch per frame (remote-chip
         # transfer latency, same treatment as the estimator megastep)
         No, K = cfg.obs_per_object, cfg.extra_per_frame
@@ -168,6 +171,7 @@ class InstanceManager:
         if not free.size:
             return None
         s = int(free[0])
+        self.gen[s] += 1
         self.active[s] = True
         self.track_id[s] = track_id
         self.cls[s] = cls
@@ -193,6 +197,7 @@ class InstanceManager:
     def _free(self, s: int):
         tid = self.track_id[s]
         self._tid_to_slot.pop(int(tid), None)
+        self.gen[s] += 1
         self.active[s] = False
         self.track_id[s] = -1
 
@@ -205,6 +210,7 @@ class InstanceManager:
         extra_pts_world [M,3]|None, dims_det [3]|None, q_det [4]|None)}.
         Mirrors InstanceManager::PushBack (estimator_insts.cpp:54).
         """
+        self._sync_pending()
         cfg = self.cfg
         seen = set()
         for tid, data in instances.items():
@@ -267,6 +273,7 @@ class InstanceManager:
         """Initial pose for the new frame (PropagatePose,
         estimator_insts.cpp:210): static -> hold; else box-fit on extra
         points if present, else constant twist."""
+        self._sync_pending()
         for s in np.flatnonzero(self.active & self.frame_valid[:, frame]):
             prev = np.flatnonzero(self.frame_valid[s, :frame])
             if not prev.size or not self.initialized[s]:
@@ -295,6 +302,7 @@ class InstanceManager:
     def initialize_instances(self, frame: int):
         """InitialInstance (estimator_insts.cpp:495): first pose from
         box fit / centroid of extra points; dims from det3d or default."""
+        self._sync_pending()
         for s in np.flatnonzero(self.active & ~self.initialized
                                 & self.frame_valid[:, frame]):
             ev = self.extra_valid[s, frame]
@@ -316,6 +324,7 @@ class InstanceManager:
     def init_velocity(self, frame: int, times):
         """Finite-difference velocity init after age>=3
         (InitialInstanceVelocity, estimator_insts.cpp:582)."""
+        self._sync_pending()
         for s in np.flatnonzero(self.active & self.initialized):
             if self.age[s] < self.cfg.min_age_for_velocity:
                 continue
@@ -333,6 +342,7 @@ class InstanceManager:
     def classify_motion(self, frame: int, times):
         """Scene-flow static/dynamic decision with hysteresis
         (SetDynamicOrStatic, estimator_insts.cpp:610)."""
+        self._sync_pending()
         cfg = self.cfg
         for s in np.flatnonzero(self.active & self.initialized):
             frames = np.flatnonzero(self.frame_valid[s, :frame + 1])
@@ -355,6 +365,7 @@ class InstanceManager:
         landmarks (Triangulate, estimator_insts.cpp:316 — stereo path).
 
         baseline_extr: (p_bc_right, q_bc_right)."""
+        self._sync_pending()
         for s in np.flatnonzero(self.active & self.initialized
                                 & self.frame_valid[:, frame]):
             li_new = np.flatnonzero(
@@ -390,62 +401,17 @@ class InstanceManager:
                 self.lm_valid[s, li] = True
 
     # ------------------------------------------------------------------
-    def _build_problems(self, times, ego_p_cw, ego_q_cw):
-        cfg = self.cfg
-        O, F, Lo = cfg.max_objects, cfg.num_frames, cfg.lm_per_object
-        No = cfg.obs_per_object
-        dt = jax.dtypes.canonicalize_dtype(cfg.dtype)
-
-        obs_frame = np.zeros((O, No), np.int32)
-        obs_cam = np.zeros((O, No), np.int32)
-        obs_lm = np.zeros((O, No), np.int32)
-        obs_norm = np.zeros((O, No, 2))
-        obs_ok = np.zeros((O, No), bool)
-        for s in range(O):
-            if not (self.active[s] and self.initialized[s]):
-                continue
-            rows = np.argwhere(self.obs_valid[s]
-                               & self.lm_valid[s][None, :, None])
-            n = min(len(rows), No)
-            for i, (f, li, c) in enumerate(rows[:n]):
-                obs_frame[s, i] = f
-                obs_cam[s, i] = c
-                obs_lm[s, i] = li
-                obs_norm[s, i] = self.obs[s, f, li, c]
-                obs_ok[s, i] = True
-
-        probs = ObjectProblem(
-            obs_frame=jnp.asarray(obs_frame),
-            obs_cam=jnp.asarray(obs_cam),
-            obs_lm=jnp.asarray(obs_lm),
-            obs_norm=jnp.asarray(obs_norm, dt),
-            obs_valid=jnp.asarray(obs_ok),
-            extra_pts=jnp.asarray(self.extra, dt),
-            extra_valid=jnp.asarray(self.extra_valid),
-            dims_det=jnp.asarray(self.dims_det, dt),
-            dims_det_valid=jnp.asarray(self.dims_det_valid),
-            q_det=jnp.asarray(self.q_det, dt),
-            det_valid=jnp.asarray(self.det_valid),
-            frame_valid=jnp.asarray(self.frame_valid),
-            lm_valid=jnp.asarray(self.lm_valid),
-            lm_prior=jnp.asarray(self.lm, dt),
-            times=jnp.asarray(np.tile(times, (O, 1)), dt),
-            p_cw=jnp.asarray(np.tile(ego_p_cw, (O, 1, 1, 1)), dt),
-            q_cw=jnp.asarray(np.tile(ego_q_cw, (O, 1, 1, 1)), dt))
-        states = ObjectWindow(
-            p=jnp.asarray(self.p, dt), q=jnp.asarray(self.q, dt),
-            v=jnp.asarray(self.v, dt), w=jnp.asarray(self.w, dt),
-            dims=jnp.asarray(self.dims, dt),
-            c_off=jnp.asarray(self.c_off, dt))
-        lms = jnp.asarray(self.lm, dt)
-        active = jnp.asarray(self.active & self.initialized
-                             & ~self.is_static)
-        return states, lms, probs, active
-
     def optimize(self, times, ego_p_cw, ego_q_cw):
         """Vmapped BA over all active dynamic objects
         (InstanceManager::Optimization, estimator_insts.cpp:772) —
-        packed 2-blob transfer, one dispatch."""
+        packed 2-blob transfer, one ASYNC dispatch.
+
+        The solve is left in flight; `_sync_pending` materializes it on
+        the next read (usually the next frame's `push_frame`), so the
+        device round trip overlaps the ego megastep + host bookkeeping
+        — the same one-frame-lagged backend→frontend feedback the
+        reference already has (GetOutputInstInfo snapshots)."""
+        self._sync_pending()
         if not (self.active & self.initialized).any():
             return
         cfg = self.cfg
@@ -508,52 +474,85 @@ class InstanceManager:
         active = self.active & self.initialized & ~self.is_static
         put_i("active", active)
 
-        out = np.array(self._solve_packed(jnp.asarray(fblob),
-                                          jnp.asarray(iblob)))
+        self._pending = dict(
+            out=self._solve_packed(jnp.asarray(fblob),
+                                   jnp.asarray(iblob)),
+            active=active.copy(), gen=self.gen.copy(), slides=0)
+
+    def _sync_pending(self):
+        """Materialize an in-flight object solve into the host tables,
+        accounting for window slides that happened since dispatch."""
+        pend, self._pending = self._pending, None
+        if pend is None:
+            return
+        cfg = self.cfg
+        O, F, Lo = cfg.max_objects, cfg.num_frames, cfg.lm_per_object
+        out = np.asarray(pend["out"])
         sizes = [O * F * 3, O * F * 4, O * 3, O * 3, O * 3, O * 3,
                  O * Lo * 3, O]
         parts = np.split(out, np.cumsum(sizes)[:-1])
         p, q, v, w, dims, c_off, lm, cost = parts
-        ok = active & np.isfinite(cost)
-        self.p[ok] = p.reshape(O, F, 3)[ok]
-        self.q[ok] = q.reshape(O, F, 4)[ok]
-        self.v[ok] = v.reshape(O, 3)[ok]
-        self.w[ok] = w.reshape(O, 3)[ok]
-        self.dims[ok] = dims.reshape(O, 3)[ok]
-        self.c_off[ok] = c_off.reshape(O, 3)[ok]
-        self.lm[ok] = lm.reshape(O, Lo, 3)[ok]
+        ok = (pend["active"] & self.active & (self.gen == pend["gen"])
+              & np.isfinite(cost))
+        n = pend["slides"]
+        if n >= F:
+            return
+        idx = np.flatnonzero(ok)
+        if not idx.size:
+            return
+        # frames [n, F) of the solve map to host frames [0, F-n); host
+        # frames >= F-n belong to frames newer than the solve
+        self.p[idx, :F - n] = p.reshape(O, F, 3)[idx, n:]
+        self.q[idx, :F - n] = q.reshape(O, F, 4)[idx, n:]
+        self.v[idx] = v.reshape(O, 3)[idx]
+        self.w[idx] = w.reshape(O, 3)[idx]
+        self.dims[idx] = dims.reshape(O, 3)[idx]
+        self.c_off[idx] = c_off.reshape(O, 3)[idx]
+        self.lm[idx] = lm.reshape(O, Lo, 3)[idx]
 
     # ------------------------------------------------------------------
-    def reject_outliers(self, thresh: float = 5.0 / 460.0):
+    def reject_outliers(self, thresh: float = 5.0 / 460.0,
+                        p_cw=None, q_cw=None):
         """Reprojection-based object landmark culling
         (Instance::OutlierRejection parity): drop landmarks whose mean
-        reprojection error across their observations exceeds thresh."""
-        from dynamic_vins_tpu.geometry import lie_np
+        reprojection error across their observations exceeds thresh.
+        Fully vectorized over (frame, landmark, cam) per object.
 
+        p_cw/q_cw: ego world→camera poses [F,2,3]/[F,2,4] indexed in
+        the CURRENT window; defaults to the poses captured at the last
+        `optimize` (only valid if the window has not slid since)."""
+        self._sync_pending()
+        if p_cw is None:
+            p_cw, q_cw = self._p_cw, self._q_cw
+        if p_cw is None:
+            return
+        p_cw = np.asarray(p_cw)              # [F, 2, 3]
+        q_cw = np.asarray(q_cw)              # [F, 2, 4]
         for s in np.flatnonzero(self.active & self.initialized):
-            for li in np.flatnonzero(self.lm_valid[s]):
-                errs = []
-                for f in range(self.cfg.num_frames):
-                    if not self.frame_valid[s, f]:
-                        continue
-                    for c in range(2):
-                        if not self.obs_valid[s, f, li, c]:
-                            continue
-                        pw = lie_np.quat_rotate(self.q[s, f],
-                                                self.lm[s, li]) \
-                            + self.p[s, f]
-                        pc = lie_np.pose_transform_point(
-                            self._p_cw[f, c], self._q_cw[f, c], pw)
-                        if pc[2] < 1e-2:
-                            errs.append(1.0)
-                            continue
-                        uv = pc[:2] / pc[2]
-                        errs.append(float(np.linalg.norm(
-                            uv - self.obs[s, f, li, c])))
-                if errs and np.mean(errs) > thresh:
-                    self.lm_valid[s, li] = False
-                    self.lm_feat_id[s, li] = -1
-                    self.obs_valid[s, :, li, :] = False
+            if not self.lm_valid[s].any():
+                continue
+            # world points of all landmarks at all frames [F, Lo, 3]
+            pw = lie_np.quat_rotate(self.q[s][:, None, :],
+                                    self.lm[s][None, :, :]) \
+                + self.p[s][:, None, :]
+            # camera points [F, Lo, cam, 3]
+            pc = lie_np.quat_rotate(q_cw[:, None, :, :],
+                                    pw[:, :, None, :]) \
+                + p_cw[:, None, :, :]
+            z = pc[..., 2]
+            uv = pc[..., :2] / np.maximum(z[..., None], 1e-2)
+            err = np.where(z < 1e-2, 1.0,
+                           np.linalg.norm(uv - self.obs[s], axis=-1))
+            valid = (self.obs_valid[s]
+                     & self.frame_valid[s][:, None, None]
+                     & self.lm_valid[s][None, :, None])
+            cnt = valid.sum(axis=(0, 2))
+            mean = (err * valid).sum(axis=(0, 2)) / np.maximum(cnt, 1)
+            bad = (cnt > 0) & (mean > thresh)
+            if bad.any():
+                self.lm_valid[s, bad] = False
+                self.lm_feat_id[s, bad] = -1
+                self.obs_valid[s, :, bad, :] = False
 
     def manage(self):
         """Delete lost instances (ManageInstances,
@@ -565,6 +564,8 @@ class InstanceManager:
     def slide_window(self):
         """Shift all per-frame object data down one slot (SlideWindow,
         estimator_insts.cpp:910 / instance.cpp:35)."""
+        if self._pending is not None:
+            self._pending["slides"] += 1
         self.p[:, :-1] = self.p[:, 1:]
         self.q[:, :-1] = self.q[:, 1:]
         self.frame_valid[:, :-1] = self.frame_valid[:, 1:]
@@ -587,6 +588,7 @@ class InstanceManager:
     def output(self):
         """Per-object state snapshot {track_id: dict} (SetOutputInstInfo
         / Output, estimator_insts.cpp:967)."""
+        self._sync_pending()
         out = {}
         for s in np.flatnonzero(self.active & self.initialized):
             frames = np.flatnonzero(self.frame_valid[s])

@@ -357,16 +357,23 @@ def solve(state: layout.WindowState, inv_depth, problem: BAProblem,
 
     dtype = state.p.dtype
     has_lines = problem.line_obs is not None and line_orth is not None
-    init_cost = total_cost(state, inv_depth, problem, config, line_orth)
     if not has_lines:
         line_orth0 = jnp.zeros((0, 4), dtype)
     else:
         line_orth0 = line_orth
 
+    # Evaluate J and cost together: build_normal_equations already
+    # computes the robustified cost from the same residuals, so carrying
+    # the normal equations through the scan removes the separate
+    # residual-only pass per iteration (~25% of an LM iteration on TPU;
+    # a rejected step re-builds at the rejected point, but rejections
+    # are rare and the accept logic is unchanged).
+    eq0 = build_normal_equations(state, inv_depth, problem, config,
+                                 line_orth0 if has_lines else None)
+    init_cost = eq0.cost
+
     def step(carry, _):
-        st, dep, orth, lam, cost = carry
-        eq = build_normal_equations(st, dep, problem, config,
-                                    orth if has_lines else None)
+        st, dep, orth, lam, cost, eq = carry
         dc, dl, dg = solve_damped(eq, problem.lm_valid,
                                   problem.fixed_cols, lam, config.ridge,
                                   problem.line_valid)
@@ -374,8 +381,9 @@ def solve(state: layout.WindowState, inv_depth, problem: BAProblem,
         new_dep = dep + dl
         new_orth = (line_geom.orth_boxplus(orth, dg) if has_lines
                     else orth)
-        new_cost = total_cost(new_st, new_dep, problem, config,
-                              new_orth if has_lines else None)
+        new_eq = build_normal_equations(new_st, new_dep, problem, config,
+                                        new_orth if has_lines else None)
+        new_cost = new_eq.cost
         accept = (new_cost < cost) & jnp.isfinite(new_cost)
         lam_next = jnp.where(accept, lam * config.lambda_down,
                              lam * config.lambda_up)
@@ -386,11 +394,13 @@ def solve(state: layout.WindowState, inv_depth, problem: BAProblem,
         dep_out = jnp.where(accept, new_dep, dep)
         orth_out = jnp.where(accept, new_orth, orth)
         cost_out = jnp.where(accept, new_cost, cost)
-        return (st_out, dep_out, orth_out, lam_next, cost_out), accept
+        eq_out = sel(new_eq, eq)
+        return (st_out, dep_out, orth_out, lam_next, cost_out,
+                eq_out), accept
 
     lam0 = jnp.asarray(config.init_lambda, dtype)
-    (st, dep, orth, lam, cost), accepted = jax.lax.scan(
-        step, (state, inv_depth, line_orth0, lam0, init_cost), None,
+    (st, dep, orth, lam, cost, _), accepted = jax.lax.scan(
+        step, (state, inv_depth, line_orth0, lam0, init_cost, eq0), None,
         length=config.max_iters)
     info = SolveInfo(init_cost, cost, lam, accepted)
     if has_lines:
