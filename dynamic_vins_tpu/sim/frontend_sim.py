@@ -66,6 +66,51 @@ def make_frames(seq: sim.SyntheticSequence, max_feats: int = 150,
     return out
 
 
+def make_line_segments(num: int = 40, seed: int = 9):
+    """World line segments scattered around the trajectory volume."""
+    rng = np.random.default_rng(seed)
+    centers = np.asarray(sim.make_landmarks(num, seed=seed))
+    dirs = rng.normal(size=(num, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return centers - dirs, centers + dirs
+
+
+def line_obs_for_frame(seq, k, s_w, e_w, rng, noise: float = 0.3):
+    """Project world segments (s_w, e_w [L,3]) into frame k's left+right
+    cameras -> {line_id: (s_l, e_l, s_r|None, e_r|None)} normalized
+    endpoints (the estimator's line-obs format)."""
+    import jax.numpy as jnp
+
+    from dynamic_vins_tpu.geometry import lie
+
+    rig = seq.rig
+    extr = [(rig.p_bc, rig.q_bc), rig.right_extrinsics()]
+    out = {}
+    for l in range(len(s_w)):
+        obs = []
+        for c in range(2):
+            p_wc, q_wc = lie.pose_compose(seq.gt_p[k], seq.gt_q[k],
+                                          extr[c][0], extr[c][1])
+            p_cw, q_cw = lie.pose_inverse(p_wc, q_wc)
+            sc = np.asarray(lie.pose_transform_point(
+                p_cw, q_cw, jnp.asarray(s_w[l])))
+            ec = np.asarray(lie.pose_transform_point(
+                p_cw, q_cw, jnp.asarray(e_w[l])))
+            if sc[2] < 0.5 or ec[2] < 0.5:
+                obs.append(None)
+                continue
+            sn = sc[:2] / sc[2] + rng.normal(scale=noise / 460, size=2)
+            en = ec[:2] / ec[2] + rng.normal(scale=noise / 460, size=2)
+            if np.abs(sn).max() > 0.9:
+                obs.append(None)
+                continue
+            obs.append((np.append(sn, 1.0), np.append(en, 1.0)))
+        if obs[0] is not None:
+            sr, er = (obs[1] if obs[1] is not None else (None, None))
+            out[l] = (obs[0][0], obs[0][1], sr, er)
+    return out
+
+
 def ate_rmse(est_p, gt_p):
     """Absolute trajectory error RMSE after SE(3)-free direct diff
     (trajectories share the same origin by construction)."""
