@@ -117,12 +117,57 @@ class FeatureTracker:
             True: jax.jit(lambda *a: _fused(*a, True)),
             False: jax.jit(lambda *a: _fused(*a, False))}
 
+        # dense-flow variant (use_dense_flow: the reference's
+        # FeatureTrackByDenseFlow, feature_utils.cpp:213, samples the
+        # RAFT field at each feature instead of running temporal LK;
+        # stereo left->right stays sparse LK). Same fused single
+        # dispatch, flow field replacing the prev->cur track.
+        fbt = config.fb_thresh
+
+        def _fused_flow(img, img_r, flow, pts, valid, mask, use_right):
+            H, W = img.shape
+            p1, ok = lk.track_by_dense_flow(flow, pts, valid,
+                                            fb_thresh=fbt, border=bord)
+            ok = ok & valid & _mask_at(mask, p1, H, W)
+            pts_a = jnp.where(ok[:, None], p1, pts)
+
+            cpts, cscore, cfound = corners.detect(
+                img, max_corners=N, min_dist=mind, exclude_pts=pts_a,
+                exclude_valid=ok, border=bord)
+            cfound = cfound & _mask_at(mask, cpts, H, W)
+            free = jnp.argsort(ok, stable=True)
+            num_free = N - jnp.sum(ok)
+            take = (jnp.arange(N) < num_free) & cfound
+            pts_b = pts_a.at[free].set(
+                jnp.where(take[:, None], cpts, pts_a[free]))
+            newly = jnp.zeros(N, bool).at[free].set(take)
+            valid_b = ok | newly
+
+            und = cam.normalized_from_pixel(intr_l, pts_b)
+            if use_right:
+                pr, okr = tracker(img, img_r, pts_b, valid_b)
+                und_r = cam.normalized_from_pixel(intr_r, pr)
+            else:
+                pr = pts_b
+                okr = jnp.zeros(N, bool)
+                und_r = und
+            f = lambda a: a.astype(jnp.float32).ravel()
+            return jnp.concatenate([
+                f(pts_b), f(und), f(und_r), f(ok), f(newly), f(okr)])
+
+        self._fused_flow = {
+            True: jax.jit(lambda *a: _fused_flow(*a, True)),
+            False: jax.jit(lambda *a: _fused_flow(*a, False))}
+
     def track(self, img, timestamp: float, mask=None,
-              img_right=None) -> FrameFeatures:
+              img_right=None, flow=None) -> FrameFeatures:
         """Process one (grayscale float [H,W]) frame; returns features.
 
         mask: optional [H,W] bool — True where tracking is ALLOWED
-        (the reference's inv_merge_mask semantics)."""
+        (the reference's inv_merge_mask semantics).
+        flow: optional [H,W,2] dense prev->cur flow field; when given,
+        features are tracked by sampling it (use_dense_flow mode)
+        instead of sparse temporal LK."""
         cfg = self.cfg
         N = cfg.max_cnt
         img = jnp.asarray(img, cfg.dtype)
@@ -136,9 +181,15 @@ class FeatureTracker:
         valid_in = self.valid if self.prev_img is not None \
             else np.zeros(N, bool)
 
-        out = np.array(self._fused[use_right](
-            prev, img, img_r, jnp.asarray(self.pts, cfg.dtype),
-            jnp.asarray(valid_in), mask_dev))
+        if flow is not None and self.prev_img is not None:
+            out = np.array(self._fused_flow[use_right](
+                img, img_r, jnp.asarray(flow, cfg.dtype),
+                jnp.asarray(self.pts, cfg.dtype),
+                jnp.asarray(valid_in), mask_dev))
+        else:
+            out = np.array(self._fused[use_right](
+                prev, img, img_r, jnp.asarray(self.pts, cfg.dtype),
+                jnp.asarray(valid_in), mask_dev))
         pts_b, und, und_r, okf, newf, okrf = np.split(
             out, np.cumsum([2 * N, 2 * N, 2 * N, N, N]))
         self.pts = pts_b.reshape(N, 2).astype(np.float32)

@@ -50,6 +50,7 @@ class FrameInput:
     boxes3d: Optional[list] = None         # List[perception.Box3D]
     disparity: Optional[np.ndarray] = None
     dynamic_mask: Optional[np.ndarray] = None  # True = dynamic pixel
+    flow: Optional[np.ndarray] = None          # [H,W,2] prev->cur flow
 
 
 class System:
@@ -143,6 +144,7 @@ class System:
             if cfg.slam == SlamMode.DYNAMIC else None
         self.frame_idx = 0
         self._tid_remap: Dict[int, int] = {}
+        self._last_dets: Dict[int, dict] = {}
 
     # ------------------------------------------------------------------
     def process(self, fi: FrameInput):
@@ -159,18 +161,25 @@ class System:
                     and fi.img_right is not None):
                 fi.disparity = self.stereo_net(fi.img_left,
                                                fi.img_right)
-            if self.flow_net is not None:
+            if fi.flow is not None:
+                self.last_flow = fi.flow          # offline artifact
+            elif self.flow_net is not None:
                 self.last_flow = self.flow_net(self._prev_img,
                                                fi.img_left) \
                     if self._prev_img is not None else None
                 self._prev_img = fi.img_left
+            else:
+                self.last_flow = None
             masks_by_tid, background_mask = self._perception(fi)
+            self._last_dets = {tid: det for tid, (_, det)
+                               in masks_by_tid.items()}
 
         # ---- background tracking --------------------------------------
         with t.stage("frontend"):
             feats = self.tracker.track(fi.img_left, fi.timestamp,
                                        mask=background_mask,
-                                       img_right=fi.img_right)
+                                       img_right=fi.img_right,
+                                       flow=self.last_flow)
             if self.line_tracker is not None:
                 segs, right = self.line_tracker.track(
                     np.asarray(fi.img_left), mask=background_mask,
@@ -257,7 +266,8 @@ class System:
             for det_i, tid in assign.items():
                 det = dict(cls=int(labels[det_i]), bbox=boxes2d[det_i])
                 if fi.boxes3d:
-                    b3 = self._match_box3d(boxes2d[det_i], fi.boxes3d)
+                    b3 = self._match_box3d(boxes2d[det_i], fi.boxes3d,
+                                           cls=int(labels[det_i]))
                     if b3 is not None:
                         det["dims_det"] = b3.dims
                         det["q_det"] = self._qdet_world(b3)
@@ -298,25 +308,47 @@ class System:
             obs[seg.id] = (sl, el, sr, er)
         return obs
 
-    def _match_box3d(self, bbox2d, boxes3d):
-        """Nearest 3D detection by projected center (IoU gate in the
-        reference, image_process.cpp:28 BoxAssociate2Dto3D)."""
-        cx = (bbox2d[0] + bbox2d[2]) / 2
-        cy = (bbox2d[1] + bbox2d[3]) / 2
-        best, best_d = None, 1e18
-        fx = float(self.intr.fx)
-        fy = float(self.intr.fy)
-        cx0 = float(self.intr.cx)
-        cy0 = float(self.intr.cy)
+    def _project_box3d_bbox(self, bottom_center, dims, R_co):
+        """Project the 8 corners of a camera-frame 3D box to pixels ->
+        (x1, y1, x2, y2) or None if the box is behind the camera."""
+        dx, dy, dz = [float(v) for v in dims]
+        sx = np.array([-1, -1, -1, -1, 1, 1, 1, 1]) * dx / 2
+        sy = np.array([0, 0, -1, -1, 0, 0, -1, -1]) * dy  # bottom->top
+        sz = np.array([-1, 1, -1, 1, -1, 1, -1, 1]) * dz / 2
+        corners = np.asarray(bottom_center)[None, :] + \
+            (np.asarray(R_co) @ np.stack([sx, sy, sz]).astype(float)).T
+        z = corners[:, 2]
+        if (z <= 0.1).any():
+            return None
+        fx, fy = float(self.intr.fx), float(self.intr.fy)
+        cx0, cy0 = float(self.intr.cx), float(self.intr.cy)
+        u = fx * corners[:, 0] / z + cx0
+        v = fy * corners[:, 1] / z + cy0
+        return (float(u.min()), float(v.min()),
+                float(u.max()), float(v.max()))
+
+    def _match_box3d(self, bbox2d, boxes3d, cls=None,
+                     iou_thresh: float = 0.1):
+        """Best 3D detection by IoU of the projected 3D box with the 2D
+        detection bbox, gated by class match (the reference's
+        BoxAssociate2Dto3D, image_process.cpp:28-61: IoU > 0.1 of
+        Box3D::ProjectCorners + same category)."""
+        from dynamic_vins_tpu.mot.tracker import iou
+
+        want = perception.COCO_TO_KITTI.get(cls) if cls is not None \
+            else None
+        best, best_iou = None, iou_thresh
         for b in boxes3d:
-            c = b.center
-            if c[2] <= 0.1:
+            if want is not None and b.class_name not in ("DontCare",
+                                                         want):
                 continue
-            u = fx * c[0] / c[2] + cx0
-            v = fy * c[1] / c[2] + cy0
-            d = (u - cx) ** 2 + (v - cy) ** 2
-            if d < best_d:
-                best, best_d = b, d
+            proj = self._project_box3d_bbox(b.bottom_center, b.dims,
+                                            b.rotation_matrix())
+            if proj is None:
+                continue
+            i = iou(np.asarray(bbox2d, float), np.asarray(proj))
+            if i > best_iou:
+                best, best_iou = b, i
         return best
 
     def _qdet_world(self, box3d):
@@ -333,6 +365,11 @@ class System:
         return np.asarray(lie.quat_multiply(q_wc, q_co))
 
     def _write_mot(self, fi: FrameInput):
+        """One KITTI-tracking line per instance. The reference writes
+        the frontend 2D box into every MOT line (output.cpp:426,448 —
+        the devkit associates GT<->est by 2D IoU); when an instance has
+        no detection this frame, the projected estimated 3D box stands
+        in (the commented corner2d block at output.cpp:496-518)."""
         states = self.estimator.get_instance_states()
         from dynamic_vins_tpu.geometry import lie
 
@@ -341,21 +378,57 @@ class System:
         p_wc, q_wc = lie.pose_compose(st.p[k], st.q[k], st.p_bc[0],
                                       st.q_bc[0])
         p_cw, q_cw = lie.pose_inverse(p_wc, q_wc)
-        for tid, s in states.items():
-            p_cam = np.asarray(lie.pose_transform_point(
-                p_cw, q_cw, jnp.asarray(s["p"])))
-            # camera-frame yaw of the object (about -y)
-            q_obj_cam = lie.quat_multiply(q_cw, jnp.asarray(s["q"]))
-            R = np.asarray(lie.quat_to_matrix(q_obj_cam))
-            yaw = float(np.arctan2(-R[2, 0], R[0, 0]))
-            dims = s["dims"]
-            bottom = p_cam.copy()
-            bottom[1] += dims[2] / 2.0
+        H, W = fi.img_left.shape
+
+        for tid in sorted(set(states) | set(self._last_dets)):
+            s = states.get(tid)
+            det = self._last_dets.get(tid)
+            cls_coco = s["cls"] if s is not None else det["cls"]
+            kitti_cls = perception.COCO_TO_KITTI.get(cls_coco, "Car")
+
+            if s is not None:
+                p_cam = np.asarray(lie.pose_transform_point(
+                    p_cw, q_cw, jnp.asarray(s["p"])))
+                # camera-frame yaw of the object (about -y)
+                q_obj_cam = lie.quat_multiply(q_cw, jnp.asarray(s["q"]))
+                R_co = np.asarray(lie.quat_to_matrix(q_obj_cam))
+                yaw = float(np.arctan2(-R_co[2, 0], R_co[0, 0]))
+                dims = np.asarray(s["dims"], float)
+                bottom = p_cam.copy()
+                bottom[1] += dims[2] / 2.0
+                hwl = (dims[2], dims[1], dims[0])
+            elif det is not None and det.get("box3d") is not None:
+                b3 = det["box3d"]
+                bottom = np.asarray(b3.bottom_center, float)
+                hwl = (float(b3.dims[1]), float(b3.dims[0]),
+                       float(b3.dims[2]))
+                yaw = float(b3.yaw)
+                R_co = b3.rotation_matrix()
+                dims = None
+            else:
+                bottom = np.zeros(3)
+                hwl = (1.5, 1.8, 4.0)     # reference default dims
+                yaw = 0.0
+                R_co = dims = None
+
+            if det is not None:
+                bbox = tuple(float(v) for v in det["bbox"])
+            elif dims is not None:
+                # project the estimated box (dims are object-frame
+                # x/y/z extents; camera-frame box via R_co)
+                bbox = self._project_box3d_bbox(
+                    bottom, (dims[0], dims[2], dims[1]), R_co)
+                if bbox is None:
+                    continue          # behind the camera: unevaluable
+                bbox = (max(bbox[0], 0.0), max(bbox[1], 0.0),
+                        min(bbox[2], W - 1.0), min(bbox[3], H - 1.0))
+                if bbox[2] <= bbox[0] or bbox[3] <= bbox[1]:
+                    continue
+            else:
+                continue
+
             self.mot_writer.write(
-                self.frame_idx, tid,
-                perception.COCO_TO_KITTI.get(s["cls"], "Car"),
-                (0, 0, 0, 0),                       # bbox2d optional
-                (dims[2], dims[1], dims[0]),        # h w l
+                self.frame_idx, tid, kitti_cls, bbox, hwl,
                 bottom, yaw, score=1.0)
 
     def close(self):

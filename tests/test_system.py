@@ -105,6 +105,101 @@ def test_system_dynamic_mode_smoke(tmp_path):
     assert os.path.exists(str(tmp_path / "run_mot.txt"))
 
 
+def test_system_mot_output_devkit_evaluable(tmp_path):
+    """Dynamic run -> MOT file with real 2D bboxes -> CLEAR-MOT in
+    2D-IoU mode (the devkit protocol: GT<->est associate by bbox IoU,
+    reference output.cpp:426). VERDICT r2 Missing #1."""
+    cfg, rig = _make_cfg(SlamMode.DYNAMIC)
+    cfg.mot_n_init = 1
+    sysm = System(cfg, output_prefix=str(tmp_path / "run"))
+    rng = np.random.default_rng(0)
+    H, W = rig.height, rig.width
+    bg = rng.uniform(0, 80, size=(H, W)).astype(np.float32)
+    gt_rows = []
+    for k in range(8):
+        x0 = 30 + 9 * k
+        img = bg.copy()
+        mask = np.zeros((H, W), bool)
+        mask[60:110, x0:x0 + 60] = True
+        img[mask] = rng.uniform(180, 220, size=int(mask.sum()))
+        seg = perception.SegResult(masks=mask[None],
+                                   scores=np.array([0.9]),
+                                   labels=np.array([2]))
+        sysm.process(FrameInput(0.1 * k, img, img, seg=seg,
+                                disparity=np.full((H, W), 8.0,
+                                                  np.float32)))
+        gt_rows.append(dict(frame=k, tid=0, cls="Car",
+                            bbox=[x0, 60, x0 + 60, 110],
+                            hwl=[1.5, 1.8, 4.0], xyz=[0, 0, 8],
+                            ry=0.0))
+    sysm.close()
+
+    from dynamic_vins_tpu.io import eval_tools
+    est_rows = eval_tools.read_mot_file(str(tmp_path / "run_mot.txt"))
+    assert est_rows, "MOT file is empty"
+    # every line carries a real (nonzero-area) 2D bbox
+    assert all(r["bbox"][2] - r["bbox"][0] > 1
+               and r["bbox"][3] - r["bbox"][1] > 1 for r in est_rows)
+    m = eval_tools.clear_mot(gt_rows, est_rows, iou_thresh=0.5)
+    assert m.mota > 0.7, m.as_dict()
+    assert m.id_switches == 0
+
+
+def test_match_box3d_iou_and_class_gates(tmp_path):
+    """2D<->3D association: IoU-of-projected-box > 0.1 + class match
+    (image_process.cpp:28-61), two nearby objects, different classes."""
+    cfg, rig = _make_cfg(SlamMode.DYNAMIC)
+    sysm = System(cfg, output_prefix=str(tmp_path / "run"))
+    car = perception.Box3D("Car", 0.9,
+                           bottom_center=np.array([1.0, 1.0, 8.0]),
+                           dims=np.array([4.0, 1.5, 1.8]), yaw=0.0)
+    ped = perception.Box3D("Pedestrian", 0.9,
+                           bottom_center=np.array([1.0, 1.0, 8.0]),
+                           dims=np.array([1.0, 1.5, 1.0]), yaw=0.0)
+    bbox_car = sysm._project_box3d_bbox(car.bottom_center, car.dims,
+                                        car.rotation_matrix())
+    assert bbox_car is not None
+    # class 2 (COCO car) near both boxes picks the Car, not the
+    # (overlapping) Pedestrian
+    got = sysm._match_box3d(bbox_car, [ped, car], cls=2)
+    assert got is car
+    # class 0 (person) with the same query picks the Pedestrian
+    got = sysm._match_box3d(bbox_car, [ped, car], cls=0)
+    assert got is ped
+    # IoU gate: a far-away 2D box matches nothing even with the class
+    far = (5.0, 5.0, 20.0, 20.0)
+    assert sysm._match_box3d(far, [ped, car], cls=2) is None
+    sysm.close()
+
+
+def test_system_dense_flow_tracking(tmp_path):
+    """use_dense_flow parity (feature_utils.cpp:213): with a dense flow
+    field supplied, background features follow the field through the
+    System path instead of sparse temporal LK. VERDICT r2 Missing #2."""
+    cfg, rig = _make_cfg(SlamMode.RAW)
+    sysm = System(cfg, output_prefix=str(tmp_path / "run"))
+    rng = np.random.default_rng(3)
+    H, W = rig.height, rig.width
+    img0 = rng.uniform(0, 255, size=(H, W)).astype(np.float32)
+    sysm.process(FrameInput(0.0, img0, None))
+    pts0 = sysm.tracker.pts.copy()
+    ids0 = sysm.tracker.ids.copy()
+    valid0 = sysm.tracker.valid.copy()
+
+    dx = 5.0
+    img1 = np.roll(img0, int(dx), axis=1)
+    flow = np.zeros((H, W, 2), np.float32)
+    flow[..., 0] = dx
+    sysm.process(FrameInput(0.1, img1, None, flow=flow))
+    tr = sysm.tracker
+    common = valid0 & tr.valid & (tr.ids == ids0)
+    assert common.sum() >= 20
+    moved = tr.pts[common, 0] - pts0[common, 0]
+    assert np.allclose(moved, dx, atol=0.5), (
+        moved.min(), moved.max())
+    sysm.close()
+
+
 def test_system_online_perception_smoke(tmp_path):
     """Dynamic mode with ALL online JAX perception stages active
     (det2d/det3d/stereo/flow/reid), no offline artifacts supplied."""
