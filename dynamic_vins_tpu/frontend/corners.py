@@ -46,15 +46,20 @@ def shi_tomasi_response(img, block: int = 3):
          static_argnames=("max_corners", "min_dist", "border"))
 def detect(img, max_corners: int, min_dist: int = 16,
            quality: float = 0.01, exclude_pts=None, exclude_valid=None,
-           border: int = 8):
+           border: int = 8, allow_mask=None):
     """Detect up to max_corners corners.
 
     Returns (pts [K,2] float, score [K], found [K] bool), K=max_corners.
     exclude_pts/[N,2]+exclude_valid: existing features — corners within
     min_dist of them are suppressed (the reference's mask circles).
+    allow_mask: optional [H,W] bool — candidates restricted to True
+    pixels (the per-instance eroded-mask top-up region,
+    dynamic_tracker.cpp:417-444).
     """
     H, W = img.shape
     resp = shi_tomasi_response(img)
+    if allow_mask is not None:
+        resp = jnp.where(allow_mask, resp, -1.0)
 
     # 3x3 non-max suppression
     p = jnp.pad(resp, 1, mode="constant", constant_values=-1.0)
