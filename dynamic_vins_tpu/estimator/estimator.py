@@ -1821,8 +1821,15 @@ class Estimator:
             self.fm.slide_new()
             if self.lines is not None:
                 self.lines.slide_new()
-        if self.im is not None and old:
-            self.im.slide_window()
+        if self.im is not None:
+            if old:
+                self.im.slide_window()
+            else:
+                # reference dispatches to Instance::SlideWindowNew on
+                # kMarginSecondNew (estimator_insts.cpp:910): object
+                # per-frame data must follow the ego window's
+                # newest-replaces-second-newest move
+                self.im.slide_window_new()
         # window stays full: next frame lands in the last slot
         self.frame_count = F - 1
 

@@ -561,6 +561,34 @@ class InstanceManager:
             if self.lost[s] > self.cfg.max_lost:
                 self._free(s)
 
+    def slide_window_new(self):
+        """Non-keyframe margin (kMarginSecondNew): drop the
+        second-newest frame's per-frame object data and move the newest
+        into its slot (Instance::SlideWindowNew parity,
+        estimator_insts.cpp:910 dispatch / instance.cpp SlideWindowNew)
+        so object obs stay aligned with the ego window, which replaces
+        slot F-2 with the newest state on this margin."""
+        # an in-flight solve's frame mapping is modeled only for the
+        # margin-old shift; materialize it first so nothing goes stale
+        self._sync_pending()
+        F2, F1 = -2, -1
+        for a in (self.p, self.q, self.frame_valid, self.obs,
+                  self.obs_valid, self.extra, self.extra_valid,
+                  self.q_det, self.det_valid):
+            a[:, F2] = a[:, F1]
+        for a in (self.frame_valid, self.obs_valid, self.extra_valid,
+                  self.det_valid):
+            a[:, F1] = False
+        # cull landmarks whose only observation was the dropped frame
+        has_obs = self.obs_valid.any(axis=(1, 3))
+        dead = self.lm_valid & ~has_obs
+        self.lm_valid[dead] = False
+        self.lm_feat_id[dead] = -1
+        # ego poses captured at the last optimize are indexed in the
+        # pre-slide window; invalidate so a stale no-arg
+        # reject_outliers returns instead of mis-projecting
+        self._p_cw = self._q_cw = None
+
     def slide_window(self):
         """Shift all per-frame object data down one slot (SlideWindow,
         estimator_insts.cpp:910 / instance.cpp:35)."""
@@ -584,6 +612,8 @@ class InstanceManager:
         dead = self.lm_valid & ~has_obs
         self.lm_valid[dead] = False
         self.lm_feat_id[dead] = -1
+        # see slide_window_new: captured ego poses are now stale
+        self._p_cw = self._q_cw = None
 
     def output(self):
         """Per-object state snapshot {track_id: dict} (SetOutputInstInfo

@@ -366,8 +366,9 @@ def solve(state: layout.WindowState, inv_depth, problem: BAProblem,
     # computes the robustified cost from the same residuals, so carrying
     # the normal equations through the scan removes the separate
     # residual-only pass per iteration (~25% of an LM iteration on TPU;
-    # a rejected step re-builds at the rejected point, but rejections
-    # are rare and the accept logic is unchanged).
+    # on reject the previously built equations at the still-current
+    # point are reused with a larger lambda — the accept logic is
+    # unchanged).
     eq0 = build_normal_equations(state, inv_depth, problem, config,
                                  line_orth0 if has_lines else None)
     init_cost = eq0.cost

@@ -130,6 +130,47 @@ def test_instance_pipeline_tracks_moving_object():
     np.testing.assert_allclose(o["dims"], dims, atol=0.3)
 
 
+def test_slide_window_new_moves_newest_into_second_newest():
+    """Instance::SlideWindowNew parity: on a non-keyframe margin the
+    second-newest frame's object data is dropped and the newest moves
+    into its slot, tracking the ego window's identical move."""
+    cfg = InstanceConfig(num_frames=5, max_objects=2)
+    im = InstanceManager(cfg)
+    s = im._alloc(7, cls=2)
+    F = cfg.num_frames
+    im.active[s] = True
+    im.frame_valid[s, :] = True
+    for k in range(F):
+        im.p[s, k] = [float(k), 0.0, 0.0]
+    im.lm_valid[s, 0] = True
+    im.lm_feat_id[s, 0] = 11
+    im.obs_valid[s, F - 1, 0, 0] = True      # obs only at newest
+    im.obs[s, F - 1, 0, 0] = [0.3, 0.4]
+    # a second landmark observed ONLY at the dropped frame F-2
+    im.lm_valid[s, 1] = True
+    im.lm_feat_id[s, 1] = 12
+    im.obs_valid[s, F - 2, 1, 0] = True
+
+    im._p_cw = np.zeros((F, 2, 3))           # stale capture
+    im._q_cw = np.tile([1.0, 0, 0, 0], (F, 2, 1))
+    im.slide_window_new()
+
+    # newest slot's pose/obs moved into F-2; F-1 cleared
+    np.testing.assert_allclose(im.p[s, F - 2], [F - 1.0, 0, 0])
+    assert im.obs_valid[s, F - 2, 0, 0]
+    np.testing.assert_allclose(im.obs[s, F - 2, 0, 0], [0.3, 0.4])
+    assert not im.obs_valid[s, F - 1].any()
+    assert not im.frame_valid[s, F - 1]
+    # landmark observed only at the dropped frame is culled
+    assert not im.lm_valid[s, 1]
+    assert im.lm_feat_id[s, 1] == -1
+    assert im.lm_valid[s, 0]
+    # stale ego-pose capture invalidated: no-arg reject is a no-op
+    assert im._p_cw is None
+    im.reject_outliers()
+    assert im.lm_valid[s, 0]
+
+
 def test_instance_lifecycle_lost_deletion():
     cfg = InstanceConfig(num_frames=6, max_objects=2, max_lost=2)
     im = InstanceManager(cfg)
