@@ -83,7 +83,29 @@ def detect_lines(img_u8: np.ndarray, cfg: LineTrackerConfig,
                 continue
         segs.append(seg)
     segs.sort(key=lambda s: -s.length)
-    return segs[:cfg.max_lines]
+    return _balanced_select(segs, cfg.max_lines)
+
+
+def _balanced_select(segs: List[LineSeg], max_lines: int
+                     ) -> List[LineSeg]:
+    """Horizontal/vertical balance top-up (line_detector.cpp:160-192):
+    when the budget binds, neither orientation class may be starved —
+    near-horizontal (|angle| < 45 deg) and near-vertical lines each get
+    up to half the budget, with slack flowing to the fuller class.
+    Keeps both line DoF families observable in corridor-like scenes."""
+    if len(segs) <= max_lines:
+        return segs
+    horiz, vert = [], []
+    for s in segs:                       # already length-sorted
+        a = abs(np.arctan2(np.sin(s.angle), np.cos(s.angle)))
+        a = min(a, np.pi - a)            # fold to [0, pi/2]
+        (horiz if a < np.pi / 4 else vert).append(s)
+    half = max_lines // 2
+    take_h = min(len(horiz), max(half, max_lines - len(vert)))
+    take_v = max_lines - take_h
+    out = horiz[:take_h] + vert[:take_v]
+    out.sort(key=lambda s: -s.length)
+    return out
 
 
 def _descriptors(img_j, segs: List[LineSeg], n_samples: int):

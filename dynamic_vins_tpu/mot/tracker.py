@@ -40,7 +40,27 @@ class Track:
     age: int = 0
     time_since_update: int = 0
     confirmed: bool = False
-    feature: Optional[np.ndarray] = None
+    # appearance ring buffer (FeatureBundle, mot/feature_bundle.h:23:
+    # the reference keeps the last `budget` ReID embeddings per track
+    # and scores a detection against the whole bundle)
+    features: List[np.ndarray] = field(default_factory=list)
+
+    @property
+    def feature(self):
+        """Latest appearance embedding (back-compat accessor)."""
+        return self.features[-1] if self.features else None
+
+    def add_feature(self, feat, budget: int):
+        self.features.append(feat)
+        if len(self.features) > budget:
+            del self.features[0]
+
+    def appearance_score(self, feat) -> float:
+        """Best cosine similarity over the bundle
+        (FeatureMetric::distance takes the min distance)."""
+        if not self.features:
+            return 0.0
+        return max(float(np.dot(f, feat)) for f in self.features)
 
     @property
     def tlbr(self):
@@ -53,6 +73,7 @@ class MotConfig:
     n_init: int = 3                # confirmations to become confirmed
     max_age: int = 5               # frames to keep unmatched tracks
     appearance_weight: float = 0.5
+    feature_budget: int = 10       # FeatureBundle ring size
 
 
 class MultiObjectTracker:
@@ -91,8 +112,8 @@ class MultiObjectTracker:
                     if classes[j] != t.cls:
                         continue
                     v = iou(t.tlbr, detections[j])
-                    if features is not None and t.feature is not None:
-                        app = float(np.dot(t.feature, features[j]))
+                    if features is not None and t.features:
+                        app = t.appearance_score(features[j])
                         v = ((1 - cfg.appearance_weight) * v
                              + cfg.appearance_weight * max(app, 0.0))
                     C[i, j] = 1.0 - v
@@ -124,7 +145,7 @@ class MultiObjectTracker:
                 if t.hits >= cfg.n_init:
                     t.confirmed = True
                 if features is not None:
-                    t.feature = features[j]
+                    t.add_feature(features[j], cfg.feature_budget)
                 assigned_dets.add(j)
                 assigned_tracks.add(id(t))
                 out[j] = t.track_id
@@ -136,7 +157,7 @@ class MultiObjectTracker:
             t = Track(self._next_id, BoxKalman(
                 xyah_from_tlbr(detections[j])), int(classes[j]))
             if features is not None:
-                t.feature = features[j]
+                t.add_feature(features[j], cfg.feature_budget)
             self.tracks.append(t)
             out[j] = t.track_id
             self._next_id += 1

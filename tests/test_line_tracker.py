@@ -55,3 +55,25 @@ def test_stereo_line_matching():
         lseg = [s for s in segs if s.id == lid][0]
         # disparity shift ≈ 8 px leftward
         assert abs((lseg.center[0] - rseg.center[0]) - 8) < 4
+
+
+def test_hv_balance_topup():
+    """Budget-bound selection keeps both orientation classes
+    (line_detector.cpp:160-192 H/V balance)."""
+    from dynamic_vins_tpu.frontend.line_tracker import (LineSeg,
+                                                        _balanced_select)
+    # 20 long horizontal + 6 short vertical lines, budget 10
+    horiz = [LineSeg(0.0, float(i), 100.0 + i, float(i))
+             for i in range(20)]
+    vert = [LineSeg(float(i), 0.0, float(i), 40.0 + i)
+            for i in range(6)]
+    segs = sorted(horiz + vert, key=lambda s: -s.length)
+    out = _balanced_select(segs, 10)
+    assert len(out) == 10
+    n_v = sum(1 for s in out if abs(s.ex - s.sx) < 1e-6)
+    assert n_v == 5                    # vertical not starved
+    # when one class is scarce, slack flows to the other
+    out2 = _balanced_select(sorted(horiz + vert[:2],
+                                   key=lambda s: -s.length), 10)
+    assert len(out2) == 10
+    assert sum(1 for s in out2 if abs(s.ex - s.sx) < 1e-6) == 2

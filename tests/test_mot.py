@@ -56,3 +56,31 @@ def test_tracker_class_gate():
     # same box, different class -> new id
     out1 = mot.update(np.array([[10, 10, 60, 80]]), classes=[2])
     assert out0[0] != out1[0]
+
+
+def test_feature_bundle_ring_buffer():
+    """FeatureBundle parity (mot/feature_bundle.h:23): per-track ring
+    of recent ReID embeddings; appearance = best match over bundle."""
+    from dynamic_vins_tpu.mot.tracker import MotConfig, \
+        MultiObjectTracker
+
+    def fake_embed(img, boxes):
+        # embedding = normalized box center (deterministic appearance)
+        c = np.stack([(boxes[:, 0] + boxes[:, 2]) / 2,
+                      (boxes[:, 1] + boxes[:, 3]) / 2], -1)
+        c = np.concatenate([c, np.ones((len(boxes), 1))], -1)
+        return c / np.linalg.norm(c, axis=-1, keepdims=True)
+
+    mot = MultiObjectTracker(MotConfig(n_init=1, feature_budget=3),
+                             embed_fn=fake_embed)
+    img = np.zeros((100, 100), np.float32)
+    for k in range(6):
+        box = np.array([[10 + 2 * k, 10, 40 + 2 * k, 40]], float)
+        out = mot.update(box, img=img)
+    t = mot.tracks[0]
+    assert len(t.features) == 3          # ring trimmed to budget
+    # bundle scores a revisit of an OLD appearance higher than the
+    # latest-only feature would
+    old_feat = fake_embed(img, np.array([[16, 10, 46, 40]], float))[0]
+    assert t.appearance_score(old_feat) >= float(
+        np.dot(t.features[-1], old_feat))
