@@ -52,6 +52,7 @@ def run_synthetic(args):
                                 num_landmarks=250, seed=args.seed)
     frames = frontend_sim.make_frames(seq, pixel_noise=0.5,
                                       seed=args.seed)
+    cfg.use_loop_closure = getattr(args, 'loop_closure', False)
     sysm = System(cfg, output_prefix=args.output)
     # synthetic mode: bypass the image frontend, feed simulated features
     sysm.estimator.set_initial_pose(
@@ -116,6 +117,7 @@ def run_euroc(args):
     imu_acc = np.stack([s.acc for s in imu])
     imu_gyr = np.stack([s.gyr for s in imu])
 
+    cfg.use_loop_closure = getattr(args, 'loop_closure', False)
     sysm = System(cfg, output_prefix=args.output)
     prev_t = None
     count = 0
@@ -200,6 +202,7 @@ def run_viode(args, custom: bool = False):
     if not imu:
         cfg.use_imu = False
 
+    cfg.use_loop_closure = getattr(args, 'loop_closure', False)
     sysm = System(cfg, output_prefix=args.output)
     prev_t = None
     count = 0
@@ -265,6 +268,7 @@ def run_kitti(args):
         cfg.body_T_cam1 = T1.reshape(-1).tolist()
 
     ds = KittiTrackingDataset(args.left, args.right)
+    cfg.use_loop_closure = getattr(args, 'loop_closure', False)
     sysm = System(cfg, output_prefix=args.output)
     count = 0
     t0 = time.perf_counter()
@@ -322,6 +326,8 @@ def main(argv=None):
                     help="offline FCOS3D txt dir")
     ap.add_argument("--disp-dir", default=None,
                     help="offline LEAStereo disparity PNG dir")
+    ap.add_argument("--loop-closure", action="store_true",
+                    help="keyframe db + loop edges + pose-graph solve")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (skip the TPU tunnel)")
     args = ap.parse_args(argv)

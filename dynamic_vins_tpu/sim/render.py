@@ -52,3 +52,26 @@ def make_intensities(n: int, seed: int = 0):
 
     rng = np.random.default_rng(seed)
     return jnp.asarray(rng.uniform(120.0, 255.0, size=n))
+
+
+def render_depth(rig: StereoRig, p_wb, q_wb, landmarks, cam: int = 0,
+                 radius: float = 3.0):
+    """Depth image consistent with `render_frame`'s splats: each pixel
+    takes the nearest landmark depth whose splat center lies within
+    `radius` px (inf where no landmark renders). Stands in for the
+    stereo/LEAStereo depth source in loop-closure tests."""
+    uv, vis, ptc = observe(rig, p_wb, q_wb, landmarks, cam=cam)
+    H, W = rig.height, rig.width
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=uv.dtype),
+                          jnp.arange(W, dtype=uv.dtype), indexing="ij")
+
+    def splat(depth, args):
+        u, v, visible, z = args
+        d2 = (xx - u) ** 2 + (yy - v) ** 2
+        cand = jnp.where(visible & (d2 <= radius * radius), z, jnp.inf)
+        return jnp.minimum(depth, cand), None
+
+    depth0 = jnp.full((H, W), jnp.inf, uv.dtype)
+    depth, _ = jax.lax.scan(
+        splat, depth0, (uv[:, 0], uv[:, 1], vis, ptc[:, 2]))
+    return depth

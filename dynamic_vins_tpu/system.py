@@ -126,6 +126,16 @@ class System:
             from dynamic_vins_tpu.models import ReidExtractor
             self._reid = ReidExtractor(params_path=cfg.reid_weights)
 
+        # loop closure (keyframe db -> loop edges -> pose graph; the
+        # north-star distributed-PGO phase's data source)
+        self.loop_closer = None
+        if cfg.use_loop_closure:
+            from dynamic_vins_tpu.loop import (LoopCloser,
+                                               LoopClosureConfig)
+            self.loop_closer = LoopCloser(
+                LoopClosureConfig(), intr, p_bc[0], q_bc[0],
+                baseline=self.baseline)
+
         self.mot = None
         self.inst_tracker = None
         if cfg.slam == SlamMode.DYNAMIC:
@@ -222,6 +232,14 @@ class System:
         with t.stage("backend"):
             out = self.estimator.process_frame(feats, fi.imu,
                                                instances=instances)
+
+        # ---- loop closure (off the critical path: strided keyframes) --
+        if (self.loop_closer is not None and out is not None
+                and self.frame_idx % cfg.loop_keyframe_stride == 0):
+            with t.stage("loop"):
+                self.loop_closer.add_keyframe(
+                    fi.img_left, out.timestamp, out.p, out.q,
+                    disparity=fi.disparity, frame_idx=self.frame_idx)
 
         # ---- output ----------------------------------------------------
         with t.stage("output"):
@@ -435,4 +453,15 @@ class System:
         self.tum_writer.close()
         if self.mot_writer:
             self.mot_writer.close()
+        # loop-corrected keyframe trajectory alongside the raw VIO one
+        if self.loop_closer is not None and self.loop_closer.edges:
+            out = self.loop_closer.optimize()
+            if out is not None:
+                p, q, _ = out
+                path = self.tum_writer._f.name.replace(
+                    "_ego_tum.txt", "_ego_tum_loop.txt")
+                with TumWriter(path) as w:
+                    for k, kf in enumerate(
+                            self.loop_closer.db.keyframes):
+                        w.write(kf.timestamp, p[k], q[k])
         return self.timer.summary()

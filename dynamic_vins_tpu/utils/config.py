@@ -100,6 +100,10 @@ class VioConfig:
     flow_weights: Optional[str] = None
     reid_weights: Optional[str] = None
 
+    # loop closure (north-star pose-graph phase; no reference analogue)
+    use_loop_closure: bool = False                 # 'use_loop_closure'
+    loop_keyframe_stride: int = 5                  # frames per db insert
+
     # io
     image_dataset_period_ms: int = 100             # 'image_dataset_period'
     output_dir: str = "output"
@@ -146,6 +150,9 @@ class VioConfig:
             "use_dense_flow": ("use_dense_flow",
                                lambda v: bool(int(v))),
             "use_reid": ("use_reid", lambda v: bool(int(v))),
+            "use_loop_closure": ("use_loop_closure",
+                                 lambda v: bool(int(v))),
+            "loop_keyframe_stride": ("loop_keyframe_stride", int),
         }
         for key, (attr, conv) in mapping.items():
             if key in raw and raw[key] is not None:

@@ -222,6 +222,39 @@ def test_system_online_perception_smoke(tmp_path):
     sysm.close()
 
 
+def test_system_loop_closure_wiring(tmp_path):
+    """use_loop_closure: strided keyframes feed the ORB database
+    through the System path; close() runs PGO when edges exist."""
+    cfg, rig = _make_cfg()
+    cfg.use_loop_closure = True
+    cfg.loop_keyframe_stride = 2
+    seq = sim.generate_sequence(num_frames=6, imu_hz=200.0,
+                                num_landmarks=200, seed=4)
+    seq = seq._replace(rig=rig)
+    inten = render.make_intensities(200, seed=4)
+    from dynamic_vins_tpu.sim import frontend_sim
+    frames_imu = frontend_sim.make_frames(seq)
+
+    sysm = System(cfg, output_prefix=str(tmp_path / "run"))
+    assert sysm.loop_closer is not None
+    sysm.estimator.set_initial_pose(
+        np.asarray(seq.gt_p[0]), np.asarray(seq.gt_q[0]),
+        np.asarray(sim.state_at(seq.frame_times[0])[2]))
+    import jax
+
+    render_jit = jax.jit(
+        lambda p, q, c: render.render_frame(rig, p, q, seq.landmarks,
+                                            inten, cam=c),
+        static_argnums=2)
+    for k in range(6):
+        img_l = np.asarray(render_jit(seq.gt_p[k], seq.gt_q[k], 0))
+        _, imu = frames_imu[k]
+        sysm.process(FrameInput(float(seq.frame_times[k]), img_l,
+                                None, imu=imu))
+    assert len(sysm.loop_closer.db) == 3      # stride-2 keyframes
+    sysm.close()                              # no edges: no PGO, no crash
+
+
 def test_system_linepoint_mode_smoke(tmp_path):
     """use_line wires the LSD line tracker into the frontend and its
     normalized endpoints into the estimator (TrackImageLine parity,
