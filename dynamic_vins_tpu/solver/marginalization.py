@@ -24,17 +24,26 @@ from dynamic_vins_tpu.solver import layout
 _EIG_EPS = 1e-8
 
 
+_EIG_REL = 1e-6
+
+
 def _eig_threshold(w):
     """Keep eigenvalues above max(abs_floor, rel_floor * max_eig).
 
     The reference uses an absolute 1e-8 floor (marginalization_factor.cpp);
     with IMU-bias information reaching ~1e12 a relative floor is needed so
-    numerically-zero eigenvalues (≈ scale * eps) are not inverted. eigh is
-    backward stable (|Δλ| ~ eps·‖A‖), so ~5e3·eps of the max eigenvalue
-    separates real information from noise — a larger floor would throw
-    away genuine visual information whenever bias information dominates."""
+    numerically-zero eigenvalues (≈ scale * eps) are not inverted.
+
+    The rel floor is an ACCURACY parameter, not just a numerical guard:
+    eigenvalues a factor ~1e6 below the spectral norm carry gauge /
+    weakly-observable directions whose linearization error outweighs
+    their information — keeping them over-pins the prior. Swept on the
+    42-frame noisy e2e protocol: rel 1e-12 -> 1e-6 cuts ATE 0.135->0.032
+    (f64) and 0.058->0.032 (f32); 1e-5 already over-floors (0.088).
+    The old 1e-12 floor also made accuracy dtype-dependent (f64's
+    smaller eigh backward error kept junk that f32 happened to drop)."""
     w_max = jnp.maximum(jnp.max(jnp.abs(w)), _EIG_EPS)
-    return jnp.maximum(_EIG_EPS, 1e-12 * w_max)
+    return jnp.maximum(_EIG_EPS, _EIG_REL * w_max)
 
 
 def _eig_pinv(A):
