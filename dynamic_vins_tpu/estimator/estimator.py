@@ -466,6 +466,55 @@ class Estimator:
         self._solve_score = solve_score
 
         @precise_jit
+        def solve_score_lines(flat, inv_depth, obs_i, obs_f, obs_valid,
+                              pres, imu_valid, prior, lm_valid,
+                              l_oi, l_of, l_ov, l_orth, l_lv):
+            """LinePoint joint BA: line-only pre-opt (the reference's
+            OptimizationWithOnlyLine) + joint solve with 4-dof line
+            blocks + per-landmark AND per-line outlier scores."""
+            from dynamic_vins_tpu.factors import line_factor, projection
+
+            state = unpack(flat)
+            problem = _mk_problem(obs_i, obs_f, obs_valid, pres,
+                                  imu_valid, prior, lm_valid)
+            ones_c = jnp.ones((l_of.shape[0], 1), flat.dtype)
+            line_obs = line_factor.LineObs(
+                frame_j=l_oi[:, 0], cam_j=l_oi[:, 1], line=l_oi[:, 2],
+                s=jnp.concatenate([l_of[:, 0:2], ones_c], axis=1),
+                e=jnp.concatenate([l_of[:, 2:4], ones_c], axis=1),
+                valid=l_ov)
+            problem = problem._replace(line_obs=line_obs,
+                                       line_valid=l_lv)
+            orth0 = line_factor.refine_orth(
+                state, l_orth, line_obs, l_lv,
+                huber_delta=scfg.huber_delta)
+            st, dep, orth, info = gn.solve(state, inv_depth, problem,
+                                           scfg, line_orth=orth0)
+            r = projection.residual_only(st, dep, problem.obs,
+                                         sqrt_info=1.0)
+            err = jnp.linalg.norm(r, axis=-1)
+            L_ = dep.shape[0]
+            w = problem.obs.valid.astype(err.dtype)
+            ssum = jax.ops.segment_sum(err * w, problem.obs.lm,
+                                       num_segments=L_)
+            n = jax.ops.segment_sum(w, problem.obs.lm,
+                                    num_segments=L_)
+            rl = line_factor.residual_only(st, orth, line_obs,
+                                           sqrt_info=1.0)
+            lerr = jnp.mean(jnp.abs(rl), axis=-1)
+            Lc_ = orth.shape[0]
+            lw = line_obs.valid.astype(lerr.dtype)
+            lsum = jax.ops.segment_sum(lerr * lw, line_obs.line,
+                                       num_segments=Lc_)
+            ln = jax.ops.segment_sum(lw, line_obs.line,
+                                     num_segments=Lc_)
+            return (st.pack(), dep, info.final_cost,
+                    ssum / jnp.maximum(n, 1.0), orth,
+                    lsum / jnp.maximum(ln, 1.0))
+
+        self._solve_score_lines = solve_score_lines
+
+        @precise_jit
         def marg_old_shifted(flat, inv_depth, obs_i, obs_f, obs_valid,
                              pres, imu_valid, prior, lm_valid, drop_lm,
                              pt0):
@@ -507,7 +556,7 @@ class Estimator:
                      anchors, tri_f, stereo_ok, two_ok, tri_req,
                      solvable_if_tri, oi, of, ov, lm_valid_base,
                      inv_depth, imu_valid, prior, drop_base, pt0,
-                     is_keyframe):
+                     is_keyframe, line_args=None):
             """The steady-state frame in ONE dispatch: IMU edge refresh
             + propagation + PnP refine -> triangulation of new slots ->
             BA solve + outlier scores -> marginalization (old/second-new
@@ -525,9 +574,16 @@ class Estimator:
             lm_valid = lm_valid_base | (new_tri & solvable_if_tri)
             ov2 = ov & lm_valid[oi[:, 3]]
 
-            flat3, dep, cost, scores = solve_score(
-                flat2, inv_depth, oi, of, ov2, pres2, imu_valid, prior,
-                lm_valid)
+            if line_args is not None:
+                (flat3, dep, cost, scores, orth_out,
+                 lscores) = solve_score_lines(
+                    flat2, inv_depth, oi, of, ov2, pres2, imu_valid,
+                    prior, lm_valid, *line_args)
+            else:
+                flat3, dep, cost, scores = solve_score(
+                    flat2, inv_depth, oi, of, ov2, pres2, imu_valid,
+                    prior, lm_valid)
+                orth_out = lscores = None
 
             # outlier + negative-depth gating before the marg (the host
             # path prunes pools between solve and marg; same semantics)
@@ -553,7 +609,7 @@ class Estimator:
             prior_out, new_inv, re_ok = jax.lax.cond(
                 is_keyframe, kf_branch, nkf_branch, operand=None)
             return (pres2, flat3, dep, new_tri, cost, bad, prior_out,
-                    new_inv, re_ok)
+                    new_inv, re_ok, orth_out, lscores)
 
         self._megastep = megastep
 
@@ -574,6 +630,13 @@ class Estimator:
                 ("two", L), ("tri_req", L), ("solv", L), ("lmv", L),
                 ("drop", L), ("ov", Co), ("imu_n", E), ("n_e", 1),
                 ("is_kf", 1)]
+        # LinePoint mode: line tables ride the same two blobs
+        use_line_static = self.cfg.use_line
+        Lc = self.cfg.line_capacity
+        LoC = self.cfg.line_obs_capacity
+        if use_line_static:
+            fsec += [("l_of", 4 * LoC), ("l_orth", 4 * Lc)]
+            isec += [("l_oi", 3 * LoC), ("l_ov", LoC), ("l_lv", Lc)]
         foff, ioff = {}, {}
         o = 0
         for name, n in fsec:
@@ -607,16 +670,27 @@ class Estimator:
             imu_n = is_("imu_n")
             imu_valid = (imu_n > 0) & use_imu_static \
                 & (jnp.arange(E) < (F - 1))
+            line_args = None
+            if use_line_static:
+                line_args = (is_("l_oi").reshape(LoC, 3),
+                             fs("l_of").reshape(LoC, 4),
+                             b("l_ov"),
+                             fs("l_orth").reshape(Lc, 4),
+                             b("l_lv"))
             (pres2, flat3, dep, new_tri, cost, bad, prior_out, new_inv,
-             re_ok) = megastep(
+             re_ok, orth_out, lscores) = megastep(
                 flat, pres, acc, gyr, dts, mask, pnp_pack, anchors,
                 tri_f, b("stereo"), b("two"), b("tri_req"), b("solv"),
                 oi, of, b("ov"), b("lmv"), inv_depth, imu_valid, prior,
-                b("drop"), pt0, is_("is_kf")[0] > 0)
-            out = jnp.concatenate([
+                b("drop"), pt0, is_("is_kf")[0] > 0, line_args)
+            parts = [
                 flat3, dep, new_tri.astype(flat3.dtype),
                 bad.astype(flat3.dtype), new_inv,
-                re_ok.astype(flat3.dtype), cost[None]])
+                re_ok.astype(flat3.dtype)]
+            if use_line_static:
+                parts += [orth_out.ravel().astype(flat3.dtype),
+                          lscores.astype(flat3.dtype)]
+            out = jnp.concatenate(parts + [cost[None]])
             return pres2, prior_out, out
 
         self._megastep_packed = megastep_packed
@@ -881,11 +955,10 @@ class Estimator:
                 and k == F - 1 and self.lines is None
                 and self.im is None):
             return self._megastep_frame_pipelined(is_keyframe)
-        if (cfg.use_megastep and self.initialized and k == F - 1
-                and self.lines is None):
-            self._megastep_frame(is_keyframe)
-            if self.im is not None and instances is not None:
-                self._process_instances(k, instances)
+        if cfg.use_megastep and self.initialized and k == F - 1:
+            # instances ride INSIDE the megastep frame: the per-object
+            # host pipeline overlaps the in-flight ego solve
+            self._megastep_frame(is_keyframe, instances=instances)
             out = self._output(k)
             self._slide(is_keyframe)
             return out
@@ -930,14 +1003,57 @@ class Estimator:
         return out
 
     # ------------------------------------------------------------------
-    def _process_instances(self, k, instances):
+    def _propagate_pose_host(self, k):
+        """Host midpoint IMU propagation of frame k-1's pose/vel across
+        edge k-1's raw buffer — the predicted pose of slot k before the
+        in-flight solve lands (same math as `fast_predict`)."""
+        st = self.state
+        e = k - 1
+        p = st.p[k - 1].copy()
+        q = st.q[k - 1].copy()
+        v = st.v[k - 1].copy()
+        n = int(self.imu_n[e])
+        if n <= 0 or not self.cfg.use_imu:
+            return p, q
+        ba, bg = st.ba[k - 1], st.bg[k - 1]
+        acc, gyr, dts = self.imu_acc[e], self.imu_gyr[e], self.imu_dt[e]
+        g = np.array([0.0, 0.0, 9.81])
+        for i in range(n):
+            dt = float(dts[i])
+            if dt <= 0.0:
+                continue
+            un_acc0 = lie_np.quat_rotate(q, acc[i] - ba) - g
+            un_gyr = 0.5 * (gyr[i] + gyr[i + 1]) - bg
+            half = 0.5 * un_gyr * dt
+            n2 = float(half @ half)
+            dq = np.concatenate([[1.0], half])
+            if n2 > 1e-12:
+                theta = np.sqrt(n2)
+                dq = np.concatenate(
+                    [[np.cos(theta)], np.sin(theta) / theta * half])
+            q = lie_np.quat_multiply(q, dq)
+            q /= np.linalg.norm(q)
+            un_acc1 = lie_np.quat_rotate(q, acc[i + 1] - ba) - g
+            un_acc = 0.5 * (un_acc0 + un_acc1)
+            p = p + v * dt + 0.5 * un_acc * dt * dt
+            v = v + un_acc * dt
+        return p, q
+
+    def _process_instances(self, k, instances, ego_override=None):
         """Per-object pipeline for frame k (estimator.cpp:1577-1622:
         PushBack -> PropagatePose -> Triangulate -> InitialInstance ->
-        InitialInstanceVelocity -> SetDynamicOrStatic -> Optimization)."""
+        InitialInstanceVelocity -> SetDynamicOrStatic -> Optimization).
+
+        ego_override: (p, q) predicted pose for frame k when the ego
+        solve for this frame is still in flight (megastep overlap)."""
         st = self.state
         im = self.im
-        ego_p = np.asarray(st.p[k])
-        ego_q = np.asarray(st.q[k])
+        if ego_override is not None:
+            ego_p, ego_q = (np.asarray(ego_override[0]),
+                            np.asarray(ego_override[1]))
+        else:
+            ego_p = np.asarray(st.p[k])
+            ego_q = np.asarray(st.q[k])
         p_bc0 = np.asarray(st.p_bc[0])
         q_bc0 = np.asarray(st.q_bc[0])
         im.push_frame(k, instances, ego_p, ego_q, p_bc0, q_bc0)
@@ -949,11 +1065,14 @@ class Estimator:
         im.init_velocity(k, times)
         im.classify_motion(k, times)
         if self.initialized:
-            from dynamic_vins_tpu.geometry import lie_np
-
             F = self.cfg.num_frames
-            p_np = np.asarray(st.p)[:, None, :]
-            q_np = np.asarray(st.q)[:, None, :]
+            p_win = np.array(st.p)
+            q_win = np.array(st.q)
+            if ego_override is not None:
+                p_win[k] = ego_p
+                q_win[k] = ego_q
+            p_np = p_win[:, None, :]
+            q_np = q_win[:, None, :]
             pbc = np.asarray(st.p_bc)[None, :, :]
             qbc = np.asarray(st.q_bc)[None, :, :]
             p_wc, q_wc = lie_np.pose_compose(p_np, q_np, pbc, qbc)
@@ -973,9 +1092,13 @@ class Estimator:
         return {} if self.im is None else self.im.output()
 
     # ------------------------------------------------------------------
-    def _megastep_frame(self, is_keyframe: bool):
-        """Steady-state frame (window full, initialized, point-only):
-        gather all host tables, ONE device dispatch, write back."""
+    def _megastep_frame(self, is_keyframe: bool, instances=None):
+        """Steady-state frame (window full, initialized): gather all
+        host tables, ONE device dispatch, write back. In dynamic mode
+        the per-object pipeline (host numpy + its own async solve) runs
+        while the ego solve is still in flight, against a host-predicted
+        current pose — the reference's one-frame-lagged
+        backend->frontend feedback, reused to hide the tunnel wait."""
         cfg = self.cfg
         fm = self.fm
         F = cfg.num_frames
@@ -1018,6 +1141,14 @@ class Estimator:
         drop_base = fm.active & (fm.start_frame == 0) & fm.depth_valid
         pt0 = np.array(fm.pt[:, 0])
 
+        # LinePoint mode: host-triangulate new lines against the
+        # window's settled frames (slot k is pre-solve here) and pack
+        # the line tables into the same dispatch
+        lmask = None
+        if self.lines is not None:
+            self.lines.triangulate(self.state, k - 1)
+            l_oi, l_of, l_ov, lmask = self.lines.build_obs_packed()
+
         # ---- marshal into 2 blobs (see megastep_packed) --------------
         L = cap
         # without x64 the device holds f32 anyway: build the blob as
@@ -1052,11 +1183,24 @@ class Estimator:
         put_i("imu_n", self.imu_n)
         put_i("n_e", self.imu_n[e])
         put_i("is_kf", int(is_keyframe))
+        if lmask is not None:
+            put_f("l_of", l_of)
+            put_f("l_orth", self.lines.orth)
+            put_i("l_oi", l_oi)
+            put_i("l_ov", l_ov)
+            put_i("l_lv", lmask)
 
         pres2, prior_out, outblob = self._megastep_packed(
             jnp.asarray(fblob), jnp.asarray(iblob), self._pres,
             self.prior)
         self._pres = pres2
+
+        # ---- overlap: instance pipeline while the solve is in flight
+        if instances is not None and self.im is not None:
+            self._process_instances(
+                k, instances,
+                ego_override=self._propagate_pose_host(k))
+
         # np.array (copy): np.asarray of a device array is read-only,
         # and the window state / fm pools are mutated in place
         outblob = np.array(outblob)
@@ -1080,6 +1224,13 @@ class Estimator:
             (new_tri & solvable_if_tri)
         fm.set_depths(dep, valid_update=lm_valid_host)
         fm.remove_outliers(bad)
+        if lmask is not None:
+            Lc = self.cfg.line_capacity
+            o0 = S + 5 * L
+            orth_out = outblob[o0:o0 + 4 * Lc].reshape(Lc, 4)
+            lscores = outblob[o0 + 4 * Lc:o0 + 5 * Lc]
+            self.lines.set_orth(orth_out, updated_mask=lmask)
+            self.lines.remove_outliers(lscores)
         self._check_failure()
 
         self.prior = prior_out

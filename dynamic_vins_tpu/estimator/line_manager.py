@@ -95,16 +95,15 @@ class LineManager:
                 else:
                     ss[i] = self.s_r[slot, k]
                     ee[i] = self.e_r[slot, k]
-            n_w, d_w, _ = line_geom.triangulate_line_multiview(
-                jnp.asarray(p_cw), jnp.asarray(q_cw), jnp.asarray(ss),
-                jnp.asarray(ee), jnp.ones(len(views)))
-            n_w = np.asarray(n_w)
-            d_w = np.asarray(d_w)
+            # host twin of lines.triangulate_line_multiview — variable
+            # view counts would recompile + round-trip per line on a
+            # remote chip (see CLAUDE.md host-bookkeeping note)
+            n_w, d_w = _triangulate_line_multiview_np(p_cw, q_cw, ss,
+                                                      ee)
             if not (np.all(np.isfinite(n_w)) and np.all(np.isfinite(d_w))
                     and np.linalg.norm(d_w) > 1e-8):
                 continue
-            orth = np.asarray(line_geom.plucker_to_orth(
-                jnp.asarray(n_w), jnp.asarray(d_w)))
+            orth = _plucker_to_orth_np(n_w, d_w)
             if not np.all(np.isfinite(orth)):
                 continue
             # gate the init: reproject into every observing view and
@@ -159,6 +158,34 @@ class LineManager:
                       e=jnp.asarray(ee, dtype), valid=jnp.asarray(valid))
         return obs, jnp.asarray(mask)
 
+    def build_obs_packed(self):
+        """Numpy-packed line obs for the megastep blob: returns
+        (li [C,3] int32 (frame, cam, slot), lf [C,4] (sxy, exy),
+        lvalid [C] bool, mask [Lc] bool). Same rows as
+        `build_obs_table`, marshalled for single-blob upload."""
+        mask = self.active & self.orth_valid
+        C = self.obs_capacity
+        li = np.zeros((C, 3), np.int32)
+        lf = np.zeros((C, 4))
+        lvalid = np.zeros(C, bool)
+        i = 0
+        for slot in np.flatnonzero(mask):
+            for f in np.flatnonzero(self.has_obs[slot]):
+                if i >= C:
+                    break
+                li[i] = (f, 0, slot)
+                lf[i, 0:2] = self.s[slot, f, :2]
+                lf[i, 2:4] = self.e[slot, f, :2]
+                lvalid[i] = True
+                i += 1
+                if self.has_right[slot, f] and i < C:
+                    li[i] = (f, 1, slot)
+                    lf[i, 0:2] = self.s_r[slot, f, :2]
+                    lf[i, 2:4] = self.e_r[slot, f, :2]
+                    lvalid[i] = True
+                    i += 1
+        return li, lf, lvalid, mask
+
     def set_orth(self, orth, updated_mask=None):
         m = self.active & self.orth_valid if updated_mask is None \
             else np.asarray(updated_mask)
@@ -200,3 +227,41 @@ class LineManager:
         self.has_right[:, F - 1] = False
         dead = self.active & ~self.has_obs.any(axis=1)
         self._remove(np.flatnonzero(dead))
+
+
+def _triangulate_line_multiview_np(p_cw, q_cw, s_obs, e_obs):
+    """Host numpy twin of `geometry.lines.triangulate_line_multiview`
+    (same plane-normal nullspace formulation); returns (n_w, d_w)."""
+    R = np.stack([lie_np.quat_to_matrix(q) for q in q_cw])   # [K,3,3]
+    l_obs = np.cross(s_obs, e_obs)
+    l_obs /= np.maximum(np.linalg.norm(l_obs, axis=-1, keepdims=True),
+                        1e-12)
+    m = np.einsum("kij,ki->kj", R, l_obs)           # Rᵀ l (world)
+    centers = -np.einsum("kij,ki->kj", R, p_cw)
+    _, sv, vt = np.linalg.svd(m, full_matrices=False)
+    d = vt[-1]
+    tmp = np.array([0.0, 0.0, 1.0]) if abs(d[2]) < 0.9 \
+        else np.array([1.0, 0.0, 0.0])
+    b1 = np.cross(d, tmp)
+    b1 /= max(np.linalg.norm(b1), 1e-12)
+    b2 = np.cross(d, b1)
+    B = np.stack([b1, b2], axis=1)
+    A2 = m @ B
+    rhs = np.sum(m * centers, axis=-1)
+    AtA = A2.T @ A2 + 1e-12 * np.eye(2)
+    y = np.linalg.solve(AtA, A2.T @ rhs)
+    p0 = B @ y
+    return np.cross(p0, d), d
+
+
+def _plucker_to_orth_np(n, d):
+    """Host numpy twin of `geometry.lines.plucker_to_orth`."""
+    nn = np.linalg.norm(n)
+    nd = np.linalg.norm(d)
+    u1 = n / max(nn, 1e-12)
+    u2 = d / max(nd, 1e-12)
+    u3 = np.cross(u1, u2)
+    R = np.stack([u1, u2, u3], axis=-1)
+    psi = lie_np.so3_log(R)
+    phi = np.arctan2(nd, nn)
+    return np.concatenate([psi, [phi]])

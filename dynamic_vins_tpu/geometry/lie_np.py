@@ -87,3 +87,22 @@ def matrix_to_quat(R):
         z = 0.25 * s
     q = np.array([w, x, y, z])
     return q / np.linalg.norm(q)
+
+
+def so3_log(R):
+    """Rotation matrix -> axis-angle vector (host twin of lie.so3_log)."""
+    tr = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(tr)
+    if theta < 1e-8:
+        return 0.5 * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                               R[1, 0] - R[0, 1]])
+    if abs(np.pi - theta) < 1e-6:
+        # near pi: axis from the largest diagonal of (R + I) / 2
+        A = (R + np.eye(3)) / 2.0
+        i = int(np.argmax(np.diag(A)))
+        axis = A[:, i] / max(np.sqrt(max(A[i, i], 1e-12)), 1e-12)
+        axis /= max(np.linalg.norm(axis), 1e-12)
+        return theta * axis
+    w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                  R[1, 0] - R[0, 1]]) / (2.0 * np.sin(theta))
+    return theta * w

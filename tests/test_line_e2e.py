@@ -140,3 +140,55 @@ def test_lines_help_in_point_poor_scene():
     ate_points = run(False)
     ate_lines = run(True)
     assert ate_lines < ate_points * 0.8, (ate_points, ate_lines)
+
+
+def test_line_megastep_matches_multidispatch():
+    """LinePoint steady state through the fused megastep must track the
+    multi-dispatch path (line triangulation granularity differs — the
+    megastep inits lines one frame later — so allow small divergence,
+    but the two must agree to sub-centimeter ATE)."""
+    rng = np.random.default_rng(0)
+    F_total = 20
+    seq = sim.generate_sequence(num_frames=F_total, imu_hz=200.0,
+                                acc_noise=0.02, gyr_noise=0.002,
+                                num_landmarks=120, seed=0)
+    frames = frontend_sim.make_frames(seq, pixel_noise=0.5, seed=0)
+    s_w, e_w = frontend_sim.make_line_segments(40, seed=9)
+    line_obs = [frontend_sim.line_obs_for_frame(
+        seq, k, s_w, e_w, np.random.default_rng(100 + k))
+        for k in range(F_total)]
+
+    rig = seq.rig
+    p_bc = np.stack([np.asarray(rig.p_bc),
+                     np.asarray(rig.right_extrinsics()[0])])
+    q_bc = np.stack([np.asarray(rig.q_bc),
+                     np.asarray(rig.right_extrinsics()[1])])
+
+    def run(use_megastep):
+        est = Estimator(EstimatorConfig(
+            num_frames=8, lm_capacity=256, obs_capacity=4096,
+            use_line=True, line_capacity=48, line_obs_capacity=384,
+            use_megastep=use_megastep), p_bc, q_bc)
+        est.set_initial_pose(
+            np.asarray(seq.gt_p[0]), np.asarray(seq.gt_q[0]),
+            np.asarray(sim.state_at(seq.frame_times[0])[2]))
+        outs = []
+        for k, (frame, imu) in enumerate(frames):
+            fr = FrameFeatures(frame.timestamp, frame.features,
+                               line_obs[k])
+            o = est.process_frame(fr, imu)
+            if o is not None:
+                outs.append(o)
+        assert not est.failed
+        ate = frontend_sim.ate_rmse(
+            np.stack([o.p for o in outs]),
+            np.stack([np.asarray(sim.state_at(o.timestamp)[0])
+                      for o in outs]))
+        return ate, est
+
+    ate_fast, est_fast = run(True)
+    ate_ref, est_ref = run(False)
+    # lines participated in the megastep path
+    assert est_fast.lines.orth_valid.sum() >= 5
+    assert abs(ate_fast - ate_ref) < 0.01, (ate_fast, ate_ref)
+    assert ate_fast < 0.08
