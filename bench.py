@@ -141,6 +141,7 @@ def main():
     # the persistent cache makes reruns warm) or under DV_BENCH_FAST.
     import os
     e2e_ms = e2e_ate = e2e_seq_ms = None
+    e2e_ate_seeds = None
     t_budget_ok = (time.perf_counter() - t_script0) < 420.0
     try:
         if os.environ.get("DV_BENCH_FAST") or not t_budget_ok:
@@ -161,7 +162,7 @@ def main():
         q_bc = np.stack([np.asarray(rig.q_bc),
                          np.asarray(rig.right_extrinsics()[1])])
 
-        def drive(pipelined, n_frames=None):
+        def drive(pipelined, n_frames=None, frames=None):
             est = Estimator(EstimatorConfig(
                 num_frames=11, lm_capacity=512, obs_capacity=8192,
                 pipelined=pipelined), p_bc, q_bc)
@@ -169,7 +170,9 @@ def main():
                 np.asarray(seq2.gt_p[0]), np.asarray(seq2.gt_q[0]),
                 np.asarray(sim_mod.state_at(seq2.frame_times[0])[2]))
             outs, times = [], []
-            frames = fr2 if n_frames is None else fr2[:n_frames]
+            frames = frames if frames is not None else fr2
+            if n_frames is not None:
+                frames = frames[:n_frames]
             for frame, imu in frames:
                 f_t0 = time.perf_counter()
                 o = est.process_frame(frame, imu)
@@ -181,15 +184,28 @@ def main():
             flush_s = time.perf_counter() - t_fl
             return est, outs, times, flush_s
 
+        def ate_of(outs):
+            return frontend_sim.ate_rmse(
+                np.stack([o.p for o in outs]),
+                np.stack([np.asarray(sim_mod.state_at(o.timestamp)[0])
+                          for o in outs]))
+
         # warm the compiled graphs (init + steady state) then measure
         drive(True, n_frames=16)
         est, outs, times, flush_s = drive(True)
         n_steady = len(times) - 18
         e2e_ms = float((sum(times[18:]) + flush_s) / n_steady * 1000)
-        e2e_ate = frontend_sim.ate_rmse(
-            np.stack([o.p for o in outs]),
-            np.stack([np.asarray(sim_mod.state_at(o.timestamp)[0])
-                      for o in outs]))
+        # single-seed ATE on this protocol is noisy (seed spread
+        # 0.03-0.16 m measured); record the median over 3 frontend
+        # noise draws, shapes identical so no recompiles
+        ates = [float(ate_of(outs))]
+        for sd in (1, 2):
+            fr_s = frontend_sim.make_frames(seq2, pixel_noise=0.5,
+                                            seed=sd)
+            _, outs_s, _, _ = drive(True, frames=fr_s)
+            ates.append(float(ate_of(outs_s)))
+        e2e_ate = float(np.median(ates))
+        e2e_ate_seeds = [round(a, 4) for a in ates]
         _, _, times_s, _ = drive(False)
         e2e_seq_ms = float(np.median(np.array(times_s[18:]) * 1000))
     except Exception:
@@ -223,7 +239,7 @@ def main():
         def drive_dyn():
             est = Estimator(EstimatorConfig(
                 num_frames=11, lm_capacity=512, obs_capacity=8192,
-                dynamic=True), p_bc, q_bc)
+                dynamic=True, pipelined=True), p_bc, q_bc)
             est.set_initial_pose(
                 np.asarray(seqd.gt_p[0]), np.asarray(seqd.gt_q[0]),
                 np.asarray(sim_mod.state_at(seqd.frame_times[0])[2]))
@@ -349,6 +365,7 @@ def main():
                                      if e2e_seq_ms is not None else None),
             "e2e_ate_m": (round(float(e2e_ate), 4)
                           if e2e_ate is not None else None),
+            "e2e_ate_m_seeds": e2e_ate_seeds,
             "e2e_dynamic_ms_per_frame": (round(e2e_dyn_ms, 1)
                                          if e2e_dyn_ms is not None
                                          else None),

@@ -950,11 +950,11 @@ class Estimator:
         if self.lines is not None and frame.lines:
             self.lines.add_lines(k, frame.lines)
 
-        # steady-state fast paths (window full, initialized, point-only)
+        # steady-state fast paths (window full, initialized)
         if (cfg.pipelined and cfg.use_megastep and self.initialized
-                and k == F - 1 and self.lines is None
-                and self.im is None):
-            return self._megastep_frame_pipelined(is_keyframe)
+                and k == F - 1 and self.lines is None):
+            return self._megastep_frame_pipelined(is_keyframe,
+                                                  instances)
         if cfg.use_megastep and self.initialized and k == F - 1:
             # instances ride INSIDE the megastep frame: the per-object
             # host pipeline overlaps the in-flight ego solve
@@ -1004,18 +1004,26 @@ class Estimator:
 
     # ------------------------------------------------------------------
     def _propagate_pose_host(self, k):
-        """Host midpoint IMU propagation of frame k-1's pose/vel across
-        edge k-1's raw buffer — the predicted pose of slot k before the
-        in-flight solve lands (same math as `fast_predict`)."""
+        """Predicted pose of slot k before the in-flight solve lands:
+        host midpoint IMU propagation of frame k-1's state across edge
+        k-1's raw buffer."""
         st = self.state
-        e = k - 1
-        p = st.p[k - 1].copy()
-        q = st.q[k - 1].copy()
-        v = st.v[k - 1].copy()
+        p, q, _v = self._propagate_edge_host(
+            st.p[k - 1], st.q[k - 1], st.v[k - 1], st.ba[k - 1],
+            st.bg[k - 1], k - 1)
+        return p, q
+
+    def _propagate_edge_host(self, p, q, v, ba, bg, e):
+        """Host midpoint IMU propagation across edge e's raw buffer
+        (same math as `fast_predict`). Returns (p, q, v)."""
+        p = np.array(p, float)
+        q = np.array(q, float)
+        v = np.array(v, float)
         n = int(self.imu_n[e])
         if n <= 0 or not self.cfg.use_imu:
-            return p, q
-        ba, bg = st.ba[k - 1], st.bg[k - 1]
+            return p, q, v
+        ba = np.asarray(ba)
+        bg = np.asarray(bg)
         acc, gyr, dts = self.imu_acc[e], self.imu_gyr[e], self.imu_dt[e]
         g = np.array([0.0, 0.0, 9.81])
         for i in range(n):
@@ -1037,9 +1045,54 @@ class Estimator:
             un_acc = 0.5 * (un_acc0 + un_acc1)
             p = p + v * dt + 0.5 * un_acc * dt * dt
             v = v + un_acc * dt
-        return p, q
+        return p, q, v
 
-    def _process_instances(self, k, instances, ego_override=None):
+    def _process_instances_pipelined(self, instances):
+        """Instance pipeline against the device-resident ego pipeline.
+
+        The host state mirror lags the dispatched frames by <=2 slides,
+        so window indices do NOT line up with the object tables (which
+        are frame-synchronous with self.timestamps). Align by
+        TIMESTAMP: each object-window slot takes the mirror pose with
+        the same stamp; the newest (not-yet-drained) 1-2 frames are
+        IMU-predicted by chaining the raw edge buffers from the newest
+        matched anchor. Slide-type agnostic."""
+        F = self.cfg.num_frames
+        k = F - 1
+        st = self.state
+        M_ts = getattr(self, "_pipe_state_ts", None)
+        if M_ts is None:
+            self._process_instances(
+                k, instances, ego_override=self._propagate_pose_host(k))
+            return
+        ts_now = self.timestamps
+        p_win = np.array(st.p)
+        q_win = np.array(st.q)
+        matched = np.full(F, -1, np.int64)
+        for j in range(F):
+            m = np.flatnonzero(np.abs(M_ts[:F - 1] - ts_now[j]) < 1e-9)
+            if m.size:
+                i = int(m[-1])
+                p_win[j] = st.p[i]
+                q_win[j] = st.q[i]
+                matched[j] = i
+        anc = np.flatnonzero(matched >= 0)
+        if not anc.size:
+            return                      # nothing aligned yet: skip
+        a = int(anc[-1])
+        i0 = int(matched[a])
+        p, q, v = st.p[i0], st.q[i0], st.v[i0]
+        ba, bg = st.ba[i0], st.bg[i0]
+        for j in range(a + 1, F):
+            p, q, v = self._propagate_edge_host(p, q, v, ba, bg, j - 1)
+            p_win[j] = p
+            q_win[j] = q
+        self._process_instances(k, instances,
+                                ego_override=(p_win[k], q_win[k]),
+                                window_override=(p_win, q_win))
+
+    def _process_instances(self, k, instances, ego_override=None,
+                           window_override=None):
         """Per-object pipeline for frame k (estimator.cpp:1577-1622:
         PushBack -> PropagatePose -> Triangulate -> InitialInstance ->
         InitialInstanceVelocity -> SetDynamicOrStatic -> Optimization).
@@ -1066,11 +1119,15 @@ class Estimator:
         im.classify_motion(k, times)
         if self.initialized:
             F = self.cfg.num_frames
-            p_win = np.array(st.p)
-            q_win = np.array(st.q)
-            if ego_override is not None:
-                p_win[k] = ego_p
-                q_win[k] = ego_q
+            if window_override is not None:
+                p_win, q_win = (np.asarray(window_override[0]),
+                                np.asarray(window_override[1]))
+            else:
+                p_win = np.array(st.p)
+                q_win = np.array(st.q)
+                if ego_override is not None:
+                    p_win[k] = ego_p
+                    q_win[k] = ego_q
             p_np = p_win[:, None, :]
             q_np = q_win[:, None, :]
             pbc = np.asarray(st.p_bc)[None, :, :]
@@ -1252,8 +1309,12 @@ class Estimator:
         from collections import deque
         self._pipe_q = deque()
         self._pipe_tri_hist = deque(maxlen=2)
+        # mode entry: the mirror is still fresh — slots [0..F-2] hold
+        # the already-solved frames at the current timestamps
+        self._pipe_state_ts = self.timestamps.copy()
 
-    def _megastep_frame_pipelined(self, is_keyframe: bool):
+    def _megastep_frame_pipelined(self, is_keyframe: bool,
+                                  instances=None):
         cfg = self.cfg
         fm = self.fm
         F = cfg.num_frames
@@ -1376,7 +1437,22 @@ class Estimator:
         except Exception:
             pass
         self._pipe_q.append(
-            (outblob, float(self.timestamps[k]), bool(is_keyframe)))
+            (outblob, float(self.timestamps[k]), bool(is_keyframe),
+             self.timestamps.copy()))
+
+        # dynamic mode: per-object pipeline runs while the ego solve is
+        # in flight, with window poses matched BY TIMESTAMP against the
+        # lagged mirror and the newest 1-2 frames IMU-predicted; object
+        # tables then slide at this frame's cadence (they are frame-
+        # synchronous with the host timestamps/imu buffers, not with
+        # the lagged mirror)
+        if instances is not None and self.im is not None:
+            self._process_instances_pipelined(instances)
+        if self.im is not None:
+            if is_keyframe:
+                self.im.slide_window()
+            else:
+                self.im.slide_window_new()
 
         self._slide_host_only(is_keyframe)
         return out
@@ -1387,7 +1463,7 @@ class Estimator:
         F = self.cfg.num_frames
         L = self.cfg.lm_capacity
         S = int(np.asarray(self.state.pack()).size)
-        outblob, t_k, was_kf = self._pipe_q.popleft()
+        outblob, t_k, was_kf, ts_win = self._pipe_q.popleft()
         ob = np.array(outblob)
         flat3 = ob[:S]
         dep = ob[S:S + L]
@@ -1404,14 +1480,18 @@ class Estimator:
         out = OdometryOut(timestamp=t_k, p=np.array(st3.p[F - 1]),
                           q=np.array(st3.q[F - 1]),
                           v=np.array(st3.v[F - 1]))
-        # state mirror: post-slide of the drained frame
+        # state mirror: post-slide of the drained frame (the mirror's
+        # per-slot timestamps ride along so window-indexed consumers —
+        # the instance pipeline — can align by time, not index)
         stn = jax.tree.map(np.array, st3)
-        for a in (stn.p, stn.q, stn.v, stn.ba, stn.bg):
+        ts_m = ts_win.copy()
+        for a in (stn.p, stn.q, stn.v, stn.ba, stn.bg, ts_m):
             if was_kf:
                 a[:-1] = a[1:]
             else:
                 a[F - 2] = a[F - 1]
         self.state = stn
+        self._pipe_state_ts = ts_m
         # landmark mirrors are slot-indexed -> slide-invariant
         fm.inv_depth[:] = inv4
         fm.depth_valid[:] = dv4 & fm.active

@@ -89,3 +89,59 @@ def test_pipelined_nonkeyframe_path():
     for o in outs:
         gt = np.asarray(sim.state_at(o.timestamp, params)[0])
         assert np.linalg.norm(o.p - gt) < 0.25
+
+
+def test_pipelined_dynamic_mode():
+    """Dynamic mode rides the pipelined ego path: the instance pipeline
+    aligns window poses by timestamp against the lagged mirror and
+    IMU-predicts the in-flight frames. Ego accuracy must match the
+    sequential dynamic path; objects must be tracked and estimated."""
+    from dynamic_vins_tpu.sim import objects as objsim
+
+    seq = sim.generate_sequence(num_frames=26, imu_hz=100.0,
+                                acc_noise=0.03, gyr_noise=0.003,
+                                num_landmarks=200, seed=0)
+    frames = frontend_sim.make_frames(seq, pixel_noise=0.4)
+    inst_frames, truths = objsim.make_object_frames(seq, num_objects=2,
+                                                    seed=0)
+    rig = seq.rig
+    p_bc = np.stack([np.asarray(rig.p_bc),
+                     np.asarray(rig.right_extrinsics()[0])])
+    q_bc = np.stack([np.asarray(rig.q_bc),
+                     np.asarray(rig.right_extrinsics()[1])])
+
+    def run(pipelined):
+        est = Estimator(EstimatorConfig(num_frames=8, lm_capacity=256,
+                                        obs_capacity=4096, dynamic=True,
+                                        pipelined=pipelined), p_bc, q_bc)
+        est.set_initial_pose(np.asarray(seq.gt_p[0]),
+                             np.asarray(seq.gt_q[0]),
+                             np.asarray(sim.state_at(
+                                 seq.frame_times[0])[2]))
+        outs = []
+        for (frame, imu), inst in zip(frames, inst_frames):
+            o = est.process_frame(frame, imu, instances=inst)
+            if o is not None:
+                outs.append(o)
+        outs.extend(est.flush())
+        assert not est.failed
+        ate = frontend_sim.ate_rmse(
+            np.stack([o.p for o in outs]),
+            np.stack([np.asarray(sim.state_at(o.timestamp)[0])
+                      for o in outs]))
+        return ate, est
+
+    ate_seq, est_seq = run(False)
+    ate_pipe, est_pipe = run(True)
+    # ego: pipelined tracks the sequential dynamic path
+    assert ate_pipe < max(2.0 * ate_seq, ate_seq + 0.02), (ate_seq,
+                                                           ate_pipe)
+    # objects: estimated in the pipelined path with sane positions
+    states = est_pipe.get_instance_states()
+    assert len(states) >= 1
+    for t in truths:
+        info = states.get(t.track_id)
+        if info is None:
+            continue
+        err = np.linalg.norm(np.asarray(info["p"]) - t.gt_p[-1])
+        assert err < 1.5, (t.track_id, err)
