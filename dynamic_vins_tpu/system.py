@@ -88,6 +88,7 @@ class System:
         self.estimator = Estimator(
             EstimatorConfig(num_frames=cfg.num_frames,
                             stereo=cfg.is_stereo, use_imu=cfg.use_imu,
+                            pipelined=cfg.pipelined,
                             max_iters=cfg.max_solver_iterations,
                             estimate_extrinsic=cfg.estimate_extrinsic,
                             estimate_td=cfg.estimate_td,
@@ -450,6 +451,9 @@ class System:
                 bottom, yaw, score=1.0)
 
     def close(self):
+        # pipelined estimator: drain the in-flight frames first
+        for out in self.estimator.flush():
+            self.tum_writer.write(out.timestamp, out.p, out.q)
         self.tum_writer.close()
         if self.mot_writer:
             self.mot_writer.close()

@@ -58,6 +58,7 @@ class VioConfig:
 
     # estimator (vio_parameters.h)
     window_size: int = 10                          # kWinSize
+    pipelined: bool = False    # device-resident pipelined steady state
     max_solver_iterations: int = 8                 # 'max_num_iterations'
     keyframe_parallax: float = 10.0                # 'keyframe_parallax' px
     focal_length: float = 460.0
@@ -129,6 +130,7 @@ class VioConfig:
             "min_dynamic_dist": ("min_dynamic_dist", int),
             "F_threshold": ("f_threshold", float),
             "max_num_iterations": ("max_solver_iterations", int),
+            "pipelined": ("pipelined", lambda v: bool(int(v))),
             "keyframe_parallax": ("keyframe_parallax", float),
             "estimate_extrinsic": ("estimate_extrinsic",
                                    lambda v: bool(int(v))),
