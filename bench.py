@@ -142,7 +142,7 @@ def main():
     import os
     e2e_ms = e2e_ate = e2e_seq_ms = None
     e2e_ate_seeds = None
-    t_budget_ok = (time.perf_counter() - t_script0) < 420.0
+    t_budget_ok = (time.perf_counter() - t_script0) < 800.0
     try:
         if os.environ.get("DV_BENCH_FAST") or not t_budget_ok:
             raise RuntimeError("skip e2e")
@@ -190,26 +190,27 @@ def main():
                 np.stack([np.asarray(sim_mod.state_at(o.timestamp)[0])
                           for o in outs]))
 
-        # warm the compiled graphs (init + steady state) then measure
-        drive(True, n_frames=16)
+        # seed-1 drive doubles as the compile warm-up; then measure the
+        # steady-state throughput on the seed-0 protocol. Single-seed
+        # ATE is noisy (spread 0.03-0.16 m measured): record the median
+        # over 3 frontend noise draws (identical shapes, no recompiles).
+        fr_s1 = frontend_sim.make_frames(seq2, pixel_noise=0.5, seed=1)
+        _, outs_s1, _, _ = drive(True, frames=fr_s1)
         est, outs, times, flush_s = drive(True)
         n_steady = len(times) - 18
         e2e_ms = float((sum(times[18:]) + flush_s) / n_steady * 1000)
-        # single-seed ATE on this protocol is noisy (seed spread
-        # 0.03-0.16 m measured); record the median over 3 frontend
-        # noise draws, shapes identical so no recompiles
-        ates = [float(ate_of(outs))]
-        for sd in (1, 2):
-            fr_s = frontend_sim.make_frames(seq2, pixel_noise=0.5,
-                                            seed=sd)
-            _, outs_s, _, _ = drive(True, frames=fr_s)
-            ates.append(float(ate_of(outs_s)))
+        ates = [float(ate_of(outs)), float(ate_of(outs_s1))]
+        fr_s2 = frontend_sim.make_frames(seq2, pixel_noise=0.5, seed=2)
+        _, outs_s2, _, _ = drive(True, frames=fr_s2)
+        ates.append(float(ate_of(outs_s2)))
         e2e_ate = float(np.median(ates))
         e2e_ate_seeds = [round(a, 4) for a in ates]
         _, _, times_s, _ = drive(False)
         e2e_seq_ms = float(np.median(np.array(times_s[18:]) * 1000))
     except Exception:
-        pass
+        if os.environ.get("DV_BENCH_DEBUG"):
+            import traceback
+            traceback.print_exc()
 
     # secondary: dynamic-mode frame time (ego VIO + K object pipeline;
     # the mode the project is named for — VERDICT r2 asked for a
@@ -217,7 +218,7 @@ def main():
     e2e_dyn_ms = dyn_ego_ate = None
     try:
         if (os.environ.get("DV_BENCH_FAST")
-                or (time.perf_counter() - t_script0) > 480.0):
+                or (time.perf_counter() - t_script0) > 800.0):
             raise RuntimeError("skip dynamic e2e")
         from dynamic_vins_tpu.estimator.estimator import (Estimator,
                                                           EstimatorConfig)
@@ -261,13 +262,15 @@ def main():
             np.stack([np.asarray(sim_mod.state_at(o.timestamp)[0])
                       for o in outs_d]))
     except Exception:
-        pass
+        if os.environ.get("DV_BENCH_DEBUG"):
+            import traceback
+            traceback.print_exc()
 
     # secondary: LinePoint-mode frame time
     e2e_line_ms = None
     try:
         if (os.environ.get("DV_BENCH_FAST")
-                or (time.perf_counter() - t_script0) > 520.0):
+                or (time.perf_counter() - t_script0) > 1100.0):
             raise RuntimeError("skip line e2e")
         from dynamic_vins_tpu.estimator.estimator import (Estimator,
                                                           EstimatorConfig,
@@ -312,7 +315,9 @@ def main():
         times_l = drive_line()
         e2e_line_ms = float(np.median(np.array(times_l[15:]) * 1000))
     except Exception:
-        pass
+        if os.environ.get("DV_BENCH_DEBUG"):
+            import traceback
+            traceback.print_exc()
 
     # secondary: pallas LK kernel rate (256 features x 10 iterations)
     lk_ms = None
@@ -336,7 +341,9 @@ def main():
         jax.block_until_ready(f)
         lk_ms = (time.perf_counter() - t2) / 10 * 1000
     except Exception:
-        pass
+        if os.environ.get("DV_BENCH_DEBUG"):
+            import traceback
+            traceback.print_exc()
     out = {
         "metric": "ba_iterations_per_s",
         "value": round(iters_per_s, 2),

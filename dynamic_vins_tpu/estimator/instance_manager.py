@@ -92,7 +92,8 @@ class InstanceManager:
         # slot generation counter: bumped on alloc/free so an in-flight
         # async solve never writes into a recycled slot
         self.gen = np.zeros(O, np.int64)
-        self._pending = None          # in-flight device solve (async)
+        from collections import deque
+        self._pending = deque()       # in-flight device solves (async)
         self._p_cw = None             # ego cam poses of the last solve
         self._q_cw = None
         # packed-blob solve: 2 uploads + 1 fetch per frame (remote-chip
@@ -210,7 +211,7 @@ class InstanceManager:
         extra_pts_world [M,3]|None, dims_det [3]|None, q_det [4]|None)}.
         Mirrors InstanceManager::PushBack (estimator_insts.cpp:54).
         """
-        self._sync_pending()
+        self._drain_ready()
         cfg = self.cfg
         seen = set()
         for tid, data in instances.items():
@@ -273,7 +274,7 @@ class InstanceManager:
         """Initial pose for the new frame (PropagatePose,
         estimator_insts.cpp:210): static -> hold; else box-fit on extra
         points if present, else constant twist."""
-        self._sync_pending()
+        self._drain_ready()
         for s in np.flatnonzero(self.active & self.frame_valid[:, frame]):
             prev = np.flatnonzero(self.frame_valid[s, :frame])
             if not prev.size or not self.initialized[s]:
@@ -302,7 +303,7 @@ class InstanceManager:
     def initialize_instances(self, frame: int):
         """InitialInstance (estimator_insts.cpp:495): first pose from
         box fit / centroid of extra points; dims from det3d or default."""
-        self._sync_pending()
+        self._drain_ready()
         for s in np.flatnonzero(self.active & ~self.initialized
                                 & self.frame_valid[:, frame]):
             ev = self.extra_valid[s, frame]
@@ -324,7 +325,7 @@ class InstanceManager:
     def init_velocity(self, frame: int, times):
         """Finite-difference velocity init after age>=3
         (InitialInstanceVelocity, estimator_insts.cpp:582)."""
-        self._sync_pending()
+        self._drain_ready()
         for s in np.flatnonzero(self.active & self.initialized):
             if self.age[s] < self.cfg.min_age_for_velocity:
                 continue
@@ -342,7 +343,7 @@ class InstanceManager:
     def classify_motion(self, frame: int, times):
         """Scene-flow static/dynamic decision with hysteresis
         (SetDynamicOrStatic, estimator_insts.cpp:610)."""
-        self._sync_pending()
+        self._drain_ready()
         cfg = self.cfg
         for s in np.flatnonzero(self.active & self.initialized):
             frames = np.flatnonzero(self.frame_valid[s, :frame + 1])
@@ -365,7 +366,7 @@ class InstanceManager:
         landmarks (Triangulate, estimator_insts.cpp:316 — stereo path).
 
         baseline_extr: (p_bc_right, q_bc_right)."""
-        self._sync_pending()
+        self._drain_ready()
         for s in np.flatnonzero(self.active & self.initialized
                                 & self.frame_valid[:, frame]):
             li_new = np.flatnonzero(
@@ -411,7 +412,7 @@ class InstanceManager:
         device round trip overlaps the ego megastep + host bookkeeping
         — the same one-frame-lagged backend→frontend feedback the
         reference already has (GetOutputInstInfo snapshots)."""
-        self._sync_pending()
+        self._drain_ready()
         if not (self.active & self.initialized).any():
             return
         cfg = self.cfg
@@ -474,17 +475,43 @@ class InstanceManager:
         active = self.active & self.initialized & ~self.is_static
         put_i("active", active)
 
-        self._pending = dict(
-            out=self._solve_packed(jnp.asarray(fblob),
-                                   jnp.asarray(iblob)),
-            active=active.copy(), gen=self.gen.copy(), slides=0)
+        out = self._solve_packed(jnp.asarray(fblob),
+                                 jnp.asarray(iblob))
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass
+        self._pending.append(dict(
+            out=out, active=active.copy(), gen=self.gen.copy(),
+            slides=0))
 
     def _sync_pending(self):
-        """Materialize an in-flight object solve into the host tables,
-        accounting for window slides that happened since dispatch."""
-        pend, self._pending = self._pending, None
-        if pend is None:
-            return
+        """Materialize ALL in-flight object solves (blocking drain)."""
+        while self._pending:
+            self._apply_pending(self._pending.popleft())
+
+    def _drain_ready(self, max_inflight: int = 1):
+        """Materialize finished solves without blocking; block only to
+        bound the queue depth. On a remote-attached chip a blocking
+        fetch costs a tunnel round trip per frame — letting ONE solve
+        stay in flight across the frame boundary hides it (the same
+        bounded-lag scheme as the ego pipeline; the slide counter keeps
+        frame indices aligned)."""
+        while self._pending:
+            head = self._pending[0]
+            ready = True
+            try:
+                ready = bool(head["out"].is_ready())
+            except Exception:
+                pass
+            if ready or len(self._pending) > max_inflight:
+                self._apply_pending(self._pending.popleft())
+            else:
+                break
+
+    def _apply_pending(self, pend):
+        """Apply one solve's results, accounting for window slides that
+        happened since its dispatch."""
         cfg = self.cfg
         O, F, Lo = cfg.max_objects, cfg.num_frames, cfg.lm_per_object
         out = np.asarray(pend["out"])
@@ -521,7 +548,7 @@ class InstanceManager:
         p_cw/q_cw: ego world→camera poses [F,2,3]/[F,2,4] indexed in
         the CURRENT window; defaults to the poses captured at the last
         `optimize` (only valid if the window has not slid since)."""
-        self._sync_pending()
+        self._drain_ready()
         if p_cw is None:
             p_cw, q_cw = self._p_cw, self._q_cw
         if p_cw is None:
@@ -592,8 +619,8 @@ class InstanceManager:
     def slide_window(self):
         """Shift all per-frame object data down one slot (SlideWindow,
         estimator_insts.cpp:910 / instance.cpp:35)."""
-        if self._pending is not None:
-            self._pending["slides"] += 1
+        for pend in self._pending:
+            pend["slides"] += 1
         self.p[:, :-1] = self.p[:, 1:]
         self.q[:, :-1] = self.q[:, 1:]
         self.frame_valid[:, :-1] = self.frame_valid[:, 1:]
@@ -617,7 +644,9 @@ class InstanceManager:
 
     def output(self):
         """Per-object state snapshot {track_id: dict} (SetOutputInstInfo
-        / Output, estimator_insts.cpp:967)."""
+        / Output, estimator_insts.cpp:967). Blocking: consumers of the
+        snapshot (MOT writer, end-of-run readers) get the latest solve,
+        not the bounded-lag view the pipeline stages tolerate."""
         self._sync_pending()
         out = {}
         for s in np.flatnonzero(self.active & self.initialized):
