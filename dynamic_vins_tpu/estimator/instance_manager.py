@@ -481,9 +481,12 @@ class InstanceManager:
             out.copy_to_host_async()
         except Exception:
             pass
+        # fmap[i] = CURRENT host window slot holding the solve's frame i
+        # (-1 = dropped); updated by both slide flavours so an in-flight
+        # solve lands in the right slots however the window moved
         self._pending.append(dict(
             out=out, active=active.copy(), gen=self.gen.copy(),
-            slides=0))
+            fmap=np.arange(cfg.num_frames)))
 
     def _sync_pending(self):
         """Materialize ALL in-flight object solves (blocking drain)."""
@@ -510,8 +513,8 @@ class InstanceManager:
                 break
 
     def _apply_pending(self, pend):
-        """Apply one solve's results, accounting for window slides that
-        happened since its dispatch."""
+        """Apply one solve's results through its frame map (accounts for
+        any mix of old / second-new window slides since dispatch)."""
         cfg = self.cfg
         O, F, Lo = cfg.max_objects, cfg.num_frames, cfg.lm_per_object
         out = np.asarray(pend["out"])
@@ -521,16 +524,16 @@ class InstanceManager:
         p, q, v, w, dims, c_off, lm, cost = parts
         ok = (pend["active"] & self.active & (self.gen == pend["gen"])
               & np.isfinite(cost))
-        n = pend["slides"]
-        if n >= F:
+        fmap = pend["fmap"]
+        src = np.flatnonzero(fmap >= 0)
+        if not src.size:
             return
         idx = np.flatnonzero(ok)
         if not idx.size:
             return
-        # frames [n, F) of the solve map to host frames [0, F-n); host
-        # frames >= F-n belong to frames newer than the solve
-        self.p[idx, :F - n] = p.reshape(O, F, 3)[idx, n:]
-        self.q[idx, :F - n] = q.reshape(O, F, 4)[idx, n:]
+        dst = fmap[src]
+        self.p[np.ix_(idx, dst)] = p.reshape(O, F, 3)[np.ix_(idx, src)]
+        self.q[np.ix_(idx, dst)] = q.reshape(O, F, 4)[np.ix_(idx, src)]
         self.v[idx] = v.reshape(O, 3)[idx]
         self.w[idx] = w.reshape(O, 3)[idx]
         self.dims[idx] = dims.reshape(O, 3)[idx]
@@ -595,9 +598,15 @@ class InstanceManager:
         estimator_insts.cpp:910 dispatch / instance.cpp SlideWindowNew)
         so object obs stay aligned with the ego window, which replaces
         slot F-2 with the newest state on this margin."""
-        # an in-flight solve's frame mapping is modeled only for the
-        # margin-old shift; materialize it first so nothing goes stale
-        self._sync_pending()
+        # in-flight solves: the solve's frame F-2 is dropped and its
+        # frame F-1 now lives in host slot F-2 (no blocking sync — the
+        # per-frame tunnel round trip stays hidden, the MOT writer
+        # tolerates the bounded lag)
+        F = self.cfg.num_frames
+        for pend in self._pending:
+            fmap = pend["fmap"]
+            fmap[fmap == F - 2] = -1
+            fmap[fmap == F - 1] = F - 2
         F2, F1 = -2, -1
         for a in (self.p, self.q, self.frame_valid, self.obs,
                   self.obs_valid, self.extra, self.extra_valid,
@@ -620,7 +629,8 @@ class InstanceManager:
         """Shift all per-frame object data down one slot (SlideWindow,
         estimator_insts.cpp:910 / instance.cpp:35)."""
         for pend in self._pending:
-            pend["slides"] += 1
+            pend["fmap"] -= 1
+            np.maximum(pend["fmap"], -1, out=pend["fmap"])
         self.p[:, :-1] = self.p[:, 1:]
         self.q[:, :-1] = self.q[:, 1:]
         self.frame_valid[:, :-1] = self.frame_valid[:, 1:]
@@ -642,12 +652,18 @@ class InstanceManager:
         # see slide_window_new: captured ego poses are now stale
         self._p_cw = self._q_cw = None
 
-    def output(self):
+    def output(self, sync: bool = False):
         """Per-object state snapshot {track_id: dict} (SetOutputInstInfo
-        / Output, estimator_insts.cpp:967). Blocking: consumers of the
-        snapshot (MOT writer, end-of-run readers) get the latest solve,
-        not the bounded-lag view the pipeline stages tolerate."""
-        self._sync_pending()
+        / Output, estimator_insts.cpp:967). Non-blocking by default:
+        finished solves are applied, an in-flight one serves the
+        bounded-lag view (a blocking fetch here would re-pay the
+        per-frame tunnel round trip the async queue exists to hide —
+        System._write_mot calls this every frame). sync=True forces the
+        latest solve (end-of-run readers)."""
+        if sync:
+            self._sync_pending()
+        else:
+            self._drain_ready()
         out = {}
         for s in np.flatnonzero(self.active & self.initialized):
             frames = np.flatnonzero(self.frame_valid[s])

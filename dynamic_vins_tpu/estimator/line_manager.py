@@ -133,6 +133,11 @@ class LineManager:
         return float(np.mean(errs)) if errs else 1e9
 
     def build_obs_table(self, dtype=jnp.float64):
+        # f64 requests truncate (with a per-call warning) when x64 is
+        # off; canonicalize so the hot path traces warning-free
+        import jax
+
+        dtype = jax.dtypes.canonicalize_dtype(dtype)
         mask = self.active & self.orth_valid
         rows = []
         for slot in np.flatnonzero(mask):

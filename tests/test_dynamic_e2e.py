@@ -2,6 +2,9 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e sequences; fast subset: -m 'not slow'
 
 from dynamic_vins_tpu.estimator.estimator import Estimator, EstimatorConfig
 from dynamic_vins_tpu.geometry import lie

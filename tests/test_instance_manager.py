@@ -119,7 +119,8 @@ def test_instance_pipeline_tracks_moving_object():
         im.classify_motion(k, times)
     im.optimize(times, p_cw, q_cw)
 
-    out = im.output()
+    # end-of-run reader: block for the final in-flight solve
+    out = im.output(sync=True)
     assert 7 in out
     o = out[7]
     assert not o["is_static"]

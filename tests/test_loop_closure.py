@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # e2e sequences; fast subset: -m 'not slow'
 from jax.sharding import Mesh
 
 from dynamic_vins_tpu.geometry import lie, lie_np

@@ -1,6 +1,9 @@
 """Monocular VIO end-to-end: SfM init + visual-inertial alignment."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e sequences; fast subset: -m 'not slow'
 
 from dynamic_vins_tpu.estimator.estimator import (Estimator,
                                                   EstimatorConfig)

@@ -3,6 +3,9 @@ sequential megastep trajectory (outputs lag 2 frames but keep their own
 timestamps, so the written trajectory is the same)."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e sequences; fast subset: -m 'not slow'
 
 from dynamic_vins_tpu.estimator.estimator import Estimator, EstimatorConfig
 from dynamic_vins_tpu.sim import frontend_sim, synthetic as sim

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e sequences; fast subset: -m 'not slow'
+
 from dynamic_vins_tpu.io import perception
 from dynamic_vins_tpu.sim import render, synthetic as sim
 from dynamic_vins_tpu.system import FrameInput, System
