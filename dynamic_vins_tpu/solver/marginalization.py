@@ -23,8 +23,12 @@ from dynamic_vins_tpu.solver import layout
 
 _EIG_EPS = 1e-8
 
+# Relative eigenvalue floor — an accuracy parameter, swept on the
+# 42-frame noisy protocol (see _eig_threshold). Env override is for
+# sweeps only.
+import os as _os
 
-_EIG_REL = 1e-6
+_EIG_REL = float(_os.environ.get("DV_EIG_REL", "1e-6"))
 
 
 def _eig_threshold(w):
@@ -35,24 +39,44 @@ def _eig_threshold(w):
     numerically-zero eigenvalues (≈ scale * eps) are not inverted.
 
     The rel floor is an ACCURACY parameter, not just a numerical guard:
-    eigenvalues a factor ~1e6 below the spectral norm carry gauge /
-    weakly-observable directions whose linearization error outweighs
-    their information — keeping them over-pins the prior. Swept on the
-    42-frame noisy e2e protocol: rel 1e-12 -> 1e-6 cuts ATE 0.135->0.032
-    (f64) and 0.058->0.032 (f32); 1e-5 already over-floors (0.088).
-    The old 1e-12 floor also made accuracy dtype-dependent (f64's
-    smaller eigh backward error kept junk that f32 happened to drop)."""
+    eigenvalues far below the (whitened, see _equilibrate) spectral
+    norm carry gauge / weakly-observable directions whose linearization
+    error outweighs their information — keeping them over-pins the
+    prior. Round-4 sweep on the 42-frame noisy protocol (f32 CPU,
+    3 frontend seeds, WITH equilibration): rel 1e-5 -> median 0.056,
+    1e-6 -> 0.044, 1e-7 -> 0.060; equilibration itself cut the f32
+    median 0.089 -> 0.044 (= f64's 0.049) and rescued a 0.149 outlier
+    seed. Round-3 history (raw-spectrum floor): 1e-12 -> 1e-6 cut f64
+    ATE 0.135 -> 0.03-0.05 (commit 9778711)."""
     w_max = jnp.maximum(jnp.max(jnp.abs(w)), _EIG_EPS)
     return jnp.maximum(_EIG_EPS, _EIG_REL * w_max)
 
 
+def _equilibrate(A):
+    """Jacobi scale s with (s A s) having unit-ish diagonal.
+
+    The window Hessian's diagonal spans ~1e12 (IMU-bias vs visual
+    information); an f32 eigh of the raw matrix has backward error
+    ~||A||*eps, which is LARGER than the small eigenvalues — they come
+    out as pure noise. Whitening by D^-1/2 compresses the dynamic range
+    so eigh resolves the whole spectrum in f32; results are mapped back
+    exactly (D is diagonal). In f64 this is a no-op accuracy-wise."""
+    d = jnp.abs(jnp.diag(A))
+    s = jnp.where(d > _EIG_EPS, 1.0 / jnp.sqrt(jnp.maximum(d, _EIG_EPS)),
+                  1.0)
+    return s
+
+
 def _eig_pinv(A):
-    """Symmetric pseudo-inverse with eigenvalue floor (marg_factor.cpp)."""
+    """Symmetric pseudo-inverse with eigenvalue floor (marg_factor.cpp),
+    computed on the Jacobi-equilibrated matrix for f32 robustness."""
     A = 0.5 * (A + A.T)
-    w, V = jnp.linalg.eigh(A)
+    s = _equilibrate(A)
+    As = A * s[:, None] * s[None, :]
+    w, V = jnp.linalg.eigh(As)
     thr = _eig_threshold(w)
     inv_w = jnp.where(w > thr, 1.0 / jnp.maximum(w, thr), 0.0)
-    return (V * inv_w[None, :]) @ V.T
+    return (s[:, None] * V * inv_w[None, :]) @ (V.T * s[None, :])
 
 
 def _schur_eliminate(H, b, drop_idx):
@@ -69,15 +93,23 @@ def _schur_eliminate(H, b, drop_idx):
 
 
 def _sqrt_factorize(S, b):
-    """(J0, r0) with J0ᵀJ0 = S and J0ᵀr0 = b, via eigh (marg ref :286-300)."""
+    """(J0, r0) with J0ᵀJ0 = S and J0ᵀr0 = b, via eigh (marg ref :286-300).
+
+    Computed on the Jacobi-equilibrated system: S = D^1/2 Ss D^1/2 with
+    Ss = V w Vᵀ gives J0 = sqrt(w) Vᵀ D^1/2 (then J0ᵀJ0 = S exactly) —
+    in f32 the raw eigh cannot resolve eigenvalues 1e12 below the
+    spectral norm, and the prior is re-factorized EVERY frame, so the
+    roundoff compounds over the sequence."""
     S = 0.5 * (S + S.T)
-    w, V = jnp.linalg.eigh(S)
+    s = _equilibrate(S)
+    Ss = S * s[:, None] * s[None, :]
+    w, V = jnp.linalg.eigh(Ss)
     thr = _eig_threshold(w)
     pos = w > thr
     sqrt_w = jnp.where(pos, jnp.sqrt(jnp.maximum(w, thr)), 0.0)
     inv_sqrt_w = jnp.where(pos, 1.0 / jnp.maximum(sqrt_w, _EIG_EPS), 0.0)
-    J0 = sqrt_w[:, None] * V.T
-    r0 = inv_sqrt_w * (V.T @ b)
+    J0 = sqrt_w[:, None] * (V.T / s[None, :])
+    r0 = inv_sqrt_w * (V.T @ (s * b))
     return J0, r0
 
 

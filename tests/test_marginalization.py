@@ -54,16 +54,22 @@ def test_marginalize_old_matches_numpy_oracle():
          @ H1[np.ix_(drop, keep)])
     J0 = np.asarray(prior.jacobian)
     S_prior = (J0.T @ J0)[np.ix_(keep, keep)]
-    # eigh-reconstruction error scales with the spectral norm, so compare
-    # with a spectrally-scaled tolerance (not entrywise)
-    scale = np.linalg.norm(S, 2)
-    assert np.abs(S_prior - S).max() < 1e-6 * scale
+    # the eigenvalue floor acts on the Jacobi-equilibrated spectrum
+    # (marginalization._sqrt_factorize — the f32 robustness fix), so
+    # the reconstruction is exact up to the floor in the WHITENED
+    # metric; compare there (the raw-scale error of a dropped whitened
+    # direction scales with the diagonal, by design)
+    d = np.abs(np.diag(S))
+    s = np.where(d > 1e-8, 1.0 / np.sqrt(np.maximum(d, 1e-8)), 1.0)
+    Sw = S * s[:, None] * s[None, :]
+    dw = np.abs(S_prior - S) * s[:, None] * s[None, :]
+    assert dw.max() < 2e-5 * np.linalg.norm(Sw, 2), dw.max()
     # gradient consistency
     b_prior = (J0.T @ np.asarray(prior.residual))[keep]
     b_oracle = (b1[keep] - H1[np.ix_(keep, drop)]
                 @ np.linalg.pinv(Hdd) @ b1[drop])
     b_scale = max(np.linalg.norm(b_oracle), 1.0)
-    assert np.abs(b_prior - b_oracle).max() < 1e-6 * b_scale
+    assert np.abs((b_prior - b_oracle) * s).max() < 1e-5 * b_scale
     # dropped columns are exactly zero
     assert np.allclose(J0[:, drop], 0.0)
 
