@@ -113,7 +113,8 @@ def _residual_orth(dorth, row, state, orth_row, sqrt_info):
 
 def refine_orth(state: layout.WindowState, line_orth, obs: LineObs,
                 line_valid, iters: int = 5, huber_delta: float = 1.0,
-                damping: float = 1e-4, sqrt_info: float = LINE_SQRT_INFO):
+                damping: float = 1e-4, sqrt_info: float = LINE_SQRT_INFO,
+                axis=None):
     """Line-only optimization with the window poses held fixed.
 
     Capability parity with the reference's `OptimizationWithOnlyLine`
@@ -126,6 +127,10 @@ def refine_orth(state: layout.WindowState, line_orth, obs: LineObs,
     reference runs a whole separate Ceres problem for this).
 
     Returns the refined [Lc, 4] orth array; invalid slots pass through.
+
+    axis: inside a shard_map with the obs rows sharded along `axis`,
+    per-line blocks are psum-reduced so every shard refines against ALL
+    observations (distributed engine mode).
     """
     from dynamic_vins_tpu.solver.gauss_newton import (_huber_cost,
                                                       _huber_weight)
@@ -135,6 +140,8 @@ def refine_orth(state: layout.WindowState, line_orth, obs: LineObs,
     valid = obs.valid & line_valid[obs.line]
     wv = valid.astype(dtype)
     eye4 = jnp.eye(4, dtype=dtype)
+    ps = (lambda x: x) if axis is None else \
+        (lambda x: jax.lax.psum(x, axis))
 
     def per_line_cost(orth):
         r = jax.vmap(lambda row, o: _residual_orth(
@@ -142,7 +149,7 @@ def refine_orth(state: layout.WindowState, line_orth, obs: LineObs,
                 obs, orth[obs.line])
         r2 = jnp.sum(r * r, axis=-1)
         c = _huber_cost(r2, huber_delta) * wv
-        return jax.ops.segment_sum(c, obs.line, num_segments=Lc)
+        return ps(jax.ops.segment_sum(c, obs.line, num_segments=Lc))
 
     def step(carry, _):
         orth, cost = carry
@@ -161,14 +168,16 @@ def refine_orth(state: layout.WindowState, line_orth, obs: LineObs,
         r = r * w[:, None]
         J = J * w[:, None, None]
 
-        H = jax.ops.segment_sum(
-            jnp.einsum("nri,nrj->nij", J, J), obs.line, num_segments=Lc)
-        g = jax.ops.segment_sum(
-            jnp.einsum("nri,nr->ni", J, r), obs.line, num_segments=Lc)
+        H = ps(jax.ops.segment_sum(
+            jnp.einsum("nri,nrj->nij", J, J), obs.line,
+            num_segments=Lc))
+        g = ps(jax.ops.segment_sum(
+            jnp.einsum("nri,nr->ni", J, r), obs.line, num_segments=Lc))
         dg = jnp.diagonal(H, axis1=-2, axis2=-1)
         H = H + (damping * dg + 1e-8)[..., None] * eye4
         # lines with no observations get identity blocks (delta = 0)
-        has_obs = jax.ops.segment_sum(wv, obs.line, num_segments=Lc) > 0
+        has_obs = ps(jax.ops.segment_sum(wv, obs.line,
+                                         num_segments=Lc)) > 0
         ok = has_obs & line_valid
         H = jnp.where(ok[:, None, None], H, eye4)
         g = jnp.where(ok[:, None], g, 0.0)

@@ -44,6 +44,7 @@ class Keyframe(NamedTuple):
     norm: np.ndarray         # [N,2] normalized keypoint coords
     depth: np.ndarray        # [N] camera depth (nan = unknown)
     valid: np.ndarray        # [N] keypoint slot validity
+    path_len: float = 0.0    # cumulative VIO path length at insertion
 
 
 class LoopEdge(NamedTuple):
@@ -61,6 +62,12 @@ class LoopClosureConfig:
     n_levels: int = 3
     min_gap: int = 12            # keyframes between query and hit
     prox_radius: float = 4.0     # pose-proximity gate (m, VIO estimate)
+    # the proximity gate is evaluated on the DRIFTED VIO estimate, so it
+    # must widen with the path length travelled since the candidate was
+    # stored (drift grows with distance); 0 disables the widening and
+    # a large prox_radius disables the metric gate entirely
+    # (appearance-only retrieval, VINS pose-graph-node style)
+    prox_drift_rate: float = 0.03  # gate widening per metre of path
     min_matches: int = 25        # descriptor matches to consider a hit
     min_inliers: int = 12        # PnP inliers to accept the edge
     max_desc_dist: int = 48      # Hamming gate
@@ -84,9 +91,10 @@ class KeyframeDatabase:
         if len(self.keyframes) < self.cfg.max_keyframes:
             self.keyframes.append(kf)
 
-    def query(self, desc, valid, p):
+    def query(self, desc, valid, p, path_len: float = 0.0):
         """Best stored keyframe by descriptor-match count among those
-        past the index gap and inside the proximity radius.
+        past the index gap and inside the (drift-widened) proximity
+        radius.
 
         Returns (index into keyframes, matches [M,2] (db_kp, query_kp))
         or (None, None)."""
@@ -99,7 +107,9 @@ class KeyframeDatabase:
             return None, None
         for i in range(n - cfg.min_gap):
             kf = self.keyframes[i]
-            if np.linalg.norm(kf.p - p) > cfg.prox_radius:
+            gate = cfg.prox_radius + cfg.prox_drift_rate * max(
+                path_len - kf.path_len, 0.0)
+            if np.linalg.norm(kf.p - p) > gate:
                 continue
             kidx = np.flatnonzero(kf.valid)
             if not kidx.size:
@@ -129,6 +139,8 @@ class LoopCloser:
         self.edges: List[LoopEdge] = []
         self._orb = OrbExtractor(n_features=cfg.n_features,
                                  n_levels=cfg.n_levels)
+        self._path_len = 0.0          # cumulative VIO path length
+        self._last_p: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
     def add_keyframe(self, img, timestamp: float, p_wb, q_wb,
@@ -166,15 +178,25 @@ class LoopCloser:
 
         p_wb = np.asarray(p_wb, float)
         q_wb = np.asarray(q_wb, float)
+        if self._last_p is not None:
+            self._path_len += float(np.linalg.norm(p_wb - self._last_p))
+        self._last_p = p_wb.copy()
         edge = None
-        hit, matches = self.db.query(desc, valid, p_wb)
+        # a loop edge references this keyframe by its db index; once the
+        # db is full, add() silently drops keyframes, so an edge built
+        # against len(db) would point at a node that never exists and
+        # the pose-graph gather would clamp it onto the wrong node
+        if len(self.db) >= cfg.max_keyframes:
+            return None
+        hit, matches = self.db.query(desc, valid, p_wb, self._path_len)
         if hit is not None:
             edge = self._estimate_edge(hit, matches, norm, p_wb, q_wb)
             if edge is not None:
                 self.edges.append(edge)
 
         self.db.add(Keyframe(len(self.db), frame_idx, timestamp,
-                             p_wb, q_wb, desc, norm, d, valid))
+                             p_wb, q_wb, desc, norm, d, valid,
+                             path_len=self._path_len))
         return edge
 
     # ------------------------------------------------------------------
@@ -273,6 +295,20 @@ class LoopCloser:
         for k, s in enumerate(infos):
             si[k] *= s
         return g._replace(sqrt_info=jnp.asarray(si, si.dtype))
+
+    def rebase(self, p, q):
+        """Overwrite the stored keyframe poses with a pose-graph result
+        (live relocalization): after the estimator window is re-anchored
+        (`Estimator.apply_loop_correction`), future VIO outputs live in
+        the corrected frame, so the stored keyframes must too —
+        otherwise the next odometry edge would measure the correction
+        jump as motion."""
+        kfs = self.db.keyframes
+        for k in range(len(kfs)):
+            kfs[k] = kfs[k]._replace(p=np.asarray(p[k], float),
+                                     q=np.asarray(q[k], float))
+        if kfs:
+            self._last_p = kfs[-1].p.copy()
 
     def optimize(self, mesh=None, config=None):
         """Solve the pose graph; returns (p [K,3], q [K,4], info) of the

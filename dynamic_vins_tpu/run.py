@@ -53,6 +53,7 @@ def run_synthetic(args):
     frames = frontend_sim.make_frames(seq, pixel_noise=0.5,
                                       seed=args.seed)
     cfg.use_loop_closure = getattr(args, 'loop_closure', False)
+    cfg.devices = getattr(args, 'devices', 0)
     sysm = System(cfg, output_prefix=args.output)
     # synthetic mode: bypass the image frontend, feed simulated features
     sysm.estimator.set_initial_pose(
@@ -118,6 +119,7 @@ def run_euroc(args):
     imu_gyr = np.stack([s.gyr for s in imu])
 
     cfg.use_loop_closure = getattr(args, 'loop_closure', False)
+    cfg.devices = getattr(args, 'devices', 0)
     sysm = System(cfg, output_prefix=args.output)
     prev_t = None
     count = 0
@@ -203,6 +205,7 @@ def run_viode(args, custom: bool = False):
         cfg.use_imu = False
 
     cfg.use_loop_closure = getattr(args, 'loop_closure', False)
+    cfg.devices = getattr(args, 'devices', 0)
     sysm = System(cfg, output_prefix=args.output)
     prev_t = None
     count = 0
@@ -269,6 +272,7 @@ def run_kitti(args):
 
     ds = KittiTrackingDataset(args.left, args.right)
     cfg.use_loop_closure = getattr(args, 'loop_closure', False)
+    cfg.devices = getattr(args, 'devices', 0)
     sysm = System(cfg, output_prefix=args.output)
     count = 0
     t0 = time.perf_counter()
@@ -328,9 +332,21 @@ def main(argv=None):
                     help="offline LEAStereo disparity PNG dir")
     ap.add_argument("--loop-closure", action="store_true",
                     help="keyframe db + loop edges + pose-graph solve")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="distributed engine mode: shard the BA factor "
+                         "rows over an N-device mesh (north star); "
+                         "with --cpu an N-device virtual mesh is forced")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (skip the TPU tunnel)")
     args = ap.parse_args(argv)
+
+    if args.devices > 1 and args.cpu:
+        # must be set before the first backend initialization
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count="
+                f"{args.devices}").strip()
 
     if args.cpu:
         import jax

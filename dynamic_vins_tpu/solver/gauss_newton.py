@@ -165,7 +165,19 @@ def _line_normal_equations(state, line_orth, problem, config, D):
 def build_normal_equations(state: layout.WindowState, inv_depth,
                            problem: BAProblem,
                            config: SolverConfig,
-                           line_orth=None) -> NormalEquations:
+                           line_orth=None, axis=None,
+                           n_shards: int = 1) -> NormalEquations:
+    """Assemble the Gauss-Newton system for one window.
+
+    axis/n_shards: when called inside a `shard_map` over a device mesh
+    with the observation rows (and line rows) sharded along `axis`,
+    each shard builds its partial system from its local rows, the
+    replicated IMU/prior rows are scaled by 1/sqrt(n_shards) so the
+    reduction counts them exactly once, and every output block is
+    `psum`-reduced over the ICI (the north-star distributed Schur:
+    camera-block reduction over collectives, landmark back-substitution
+    local). axis=None is the single-device path, byte-identical to
+    before."""
     D = layout.cam_dim(state.num_frames)
     L = inv_depth.shape[0]
     dtype = state.p.dtype
@@ -199,12 +211,16 @@ def build_normal_equations(state: layout.WindowState, inv_depth,
     b_l = jax.ops.segment_sum(jl * r_proj, lm_flat, num_segments=L)
 
     # --- IMU factors ---------------------------------------------------
+    # replicated on every shard; 1/sqrt(n) row scale makes the psum
+    # reconstruct them exactly once
+    s_rep = 1.0 if axis is None else 1.0 / jnp.sqrt(
+        jnp.asarray(n_shards, dtype))
     if config.use_imu:
         r_i, J_i, cols_i = imu_factor.evaluate(state, problem.pres,
                                                problem.imu_valid)
         E = r_i.shape[0]
-        J_imu = _scatter_rows(J_i, cols_i, 15, D)       # [15E, D]
-        r_imu = r_i.reshape(15 * E)
+        J_imu = _scatter_rows(J_i, cols_i, 15, D) * s_rep  # [15E, D]
+        r_imu = r_i.reshape(15 * E) * s_rep
         cost_imu = 0.5 * jnp.sum(r_imu * r_imu)
     else:
         J_imu = jnp.zeros((0, D), dtype)
@@ -213,6 +229,8 @@ def build_normal_equations(state: layout.WindowState, inv_depth,
 
     # --- marginalization prior ----------------------------------------
     r_pr, J_pr = prior_factor.evaluate(state, problem.prior)
+    r_pr = r_pr * s_rep
+    J_pr = J_pr * s_rep
     cost_prior = 0.5 * jnp.sum(r_pr * r_pr)
 
     # --- line factors (optional) --------------------------------------
@@ -241,12 +259,18 @@ def build_normal_equations(state: layout.WindowState, inv_depth,
     b_c = J_all.T @ r_all
 
     cost = cost_proj + cost_imu + cost_prior + cost_line
-    return NormalEquations(H_cc, b_c, H_ll, H_lc, b_l, cost,
-                           H_gg, H_gc, b_g)
+    eq = NormalEquations(H_cc, b_c, H_ll, H_lc, b_l, cost,
+                         H_gg, H_gc, b_g)
+    if axis is not None:
+        eq = jax.tree.map(lambda x: jax.lax.psum(x, axis), eq)
+    return eq
 
 
 def total_cost(state: layout.WindowState, inv_depth, problem: BAProblem,
-               config: SolverConfig, line_orth=None):
+               config: SolverConfig, line_orth=None, axis=None,
+               n_shards: int = 1):
+    inv_n = 1.0 if axis is None else 1.0 / jnp.asarray(
+        n_shards, state.p.dtype)
     r_p = projection.residual_only(state, inv_depth, problem.obs)
     obs_valid = problem.obs.valid & problem.lm_valid[problem.obs.lm]
     r2 = jnp.sum(r_p * r_p, axis=-1)
@@ -255,9 +279,9 @@ def total_cost(state: layout.WindowState, inv_depth, problem: BAProblem,
     if config.use_imu:
         r_i = imu_factor.residual_only(state, problem.pres,
                                        problem.imu_valid)
-        cost = cost + 0.5 * jnp.sum(r_i * r_i)
+        cost = cost + 0.5 * jnp.sum(r_i * r_i) * inv_n
     r_pr = prior_factor.residual_only(state, problem.prior)
-    cost = cost + 0.5 * jnp.sum(r_pr * r_pr)
+    cost = cost + 0.5 * jnp.sum(r_pr * r_pr) * inv_n
     if problem.line_obs is not None and line_orth is not None:
         from dynamic_vins_tpu.factors import line_factor
 
@@ -269,6 +293,8 @@ def total_cost(state: layout.WindowState, inv_depth, problem: BAProblem,
         lr2 = jnp.sum(r_l * r_l, axis=-1)
         cost = cost + 0.5 * jnp.sum(
             jnp.where(lvalid, _huber_cost(lr2, config.huber_delta), 0.0))
+    if axis is not None:
+        cost = jax.lax.psum(cost, axis)
     return cost
 
 
@@ -347,11 +373,17 @@ class SolveInfo(NamedTuple):
 
 
 def solve(state: layout.WindowState, inv_depth, problem: BAProblem,
-          config: SolverConfig = SolverConfig(), line_orth=None):
+          config: SolverConfig = SolverConfig(), line_orth=None,
+          axis=None, n_shards: int = 1):
     """Run LM for config.max_iters.
 
     Returns (state, inv_depth, info) — or, when the problem carries
     lines and `line_orth` is given, (state, inv_depth, line_orth, info).
+
+    axis/n_shards: inside a `shard_map` with obs/line rows sharded over
+    `axis`, the whole LM loop runs as ONE multi-device computation —
+    normal equations psum-reduced each iteration, the small damped
+    Schur solve replicated (see build_normal_equations).
     """
     from dynamic_vins_tpu.geometry import lines as line_geom
 
@@ -370,7 +402,8 @@ def solve(state: layout.WindowState, inv_depth, problem: BAProblem,
     # point are reused with a larger lambda — the accept logic is
     # unchanged).
     eq0 = build_normal_equations(state, inv_depth, problem, config,
-                                 line_orth0 if has_lines else None)
+                                 line_orth0 if has_lines else None,
+                                 axis=axis, n_shards=n_shards)
     init_cost = eq0.cost
 
     def step(carry, _):
@@ -383,7 +416,8 @@ def solve(state: layout.WindowState, inv_depth, problem: BAProblem,
         new_orth = (line_geom.orth_boxplus(orth, dg) if has_lines
                     else orth)
         new_eq = build_normal_equations(new_st, new_dep, problem, config,
-                                        new_orth if has_lines else None)
+                                        new_orth if has_lines else None,
+                                        axis=axis, n_shards=n_shards)
         new_cost = new_eq.cost
         accept = (new_cost < cost) & jnp.isfinite(new_cost)
         lam_next = jnp.where(accept, lam * config.lambda_down,

@@ -85,6 +85,22 @@ class System:
             from dynamic_vins_tpu.frontend.line_tracker import (
                 LineTracker, LineTrackerConfig)
             self.line_tracker = LineTracker(LineTrackerConfig())
+        # distributed engine mode (north star): the estimator's fused
+        # solve dispatches through the shard_map solver over this mesh
+        self.mesh = None
+        if cfg.devices and cfg.devices > 1:
+            import jax
+            from jax.sharding import Mesh
+
+            devs = jax.devices()
+            if len(devs) < cfg.devices:
+                raise RuntimeError(
+                    f"devices={cfg.devices} but only {len(devs)} "
+                    "available (CPU: set XLA_FLAGS="
+                    "--xla_force_host_platform_device_count=N before "
+                    "the first jax use)")
+            self.mesh = Mesh(np.array(devs[:cfg.devices]), ("lm",))
+
         self.estimator = Estimator(
             EstimatorConfig(num_frames=cfg.num_frames,
                             stereo=cfg.is_stereo, use_imu=cfg.use_imu,
@@ -95,6 +111,7 @@ class System:
                             use_plane_constraint=cfg.use_plane_constraint,
                             use_line=cfg.use_line,
                             line_weight=cfg.line_weight,
+                            mesh=self.mesh,
                             dynamic=cfg.slam == SlamMode.DYNAMIC),
             p_bc, q_bc)
 
@@ -134,8 +151,9 @@ class System:
             from dynamic_vins_tpu.loop import (LoopCloser,
                                                LoopClosureConfig)
             self.loop_closer = LoopCloser(
-                LoopClosureConfig(), intr, p_bc[0], q_bc[0],
-                baseline=self.baseline)
+                LoopClosureConfig(min_gap=cfg.loop_min_gap,
+                                  prox_radius=cfg.loop_prox_radius),
+                intr, p_bc[0], q_bc[0], baseline=self.baseline)
 
         self.mot = None
         self.inst_tracker = None
@@ -235,17 +253,31 @@ class System:
                                                instances=instances)
 
         # ---- loop closure (off the critical path: strided keyframes) --
+        drained = []
         if (self.loop_closer is not None and out is not None
                 and self.frame_idx % cfg.loop_keyframe_stride == 0):
             with t.stage("loop"):
-                self.loop_closer.add_keyframe(
+                edge = self.loop_closer.add_keyframe(
                     fi.img_left, out.timestamp, out.p, out.q,
                     disparity=fi.disparity, frame_idx=self.frame_idx)
+                if edge is not None and cfg.loop_live_correction:
+                    # live relocalization: solve the pose graph and
+                    # re-anchor the running window so post-loop
+                    # odometry is drift-corrected (VERDICT r3 #6)
+                    res = self.loop_closer.optimize()
+                    if res is not None:
+                        p_g, q_g, _ = res
+                        kf = self.loop_closer.db.keyframes[edge.j]
+                        drained = self.estimator.apply_loop_correction(
+                            kf.p, kf.q, p_g[edge.j], q_g[edge.j])
+                        self.loop_closer.rebase(p_g, q_g)
 
         # ---- output ----------------------------------------------------
         with t.stage("output"):
             if out is not None:
                 self.tum_writer.write(out.timestamp, out.p, out.q)
+            for o in drained:          # pipelined frames flushed by the
+                self.tum_writer.write(o.timestamp, o.p, o.q)  # correction
             if self.mot_writer is not None:
                 self._write_mot(fi)
         self.frame_idx += 1
@@ -282,11 +314,13 @@ class System:
                                      img=fi.img_left) \
                 if len(boxes2d) else {}
             # associate 2D <-> 3D boxes (BoxAssociate2Dto3D)
+            used3d: set = set()
             for det_i, tid in assign.items():
                 det = dict(cls=int(labels[det_i]), bbox=boxes2d[det_i])
                 if fi.boxes3d:
                     b3 = self._match_box3d(boxes2d[det_i], fi.boxes3d,
-                                           cls=int(labels[det_i]))
+                                           cls=int(labels[det_i]),
+                                           used=used3d)
                     if b3 is not None:
                         det["dims_det"] = b3.dims
                         det["q_det"] = self._qdet_world(b3)
@@ -347,19 +381,21 @@ class System:
                 float(u.max()), float(v.max()))
 
     def _match_box3d(self, bbox2d, boxes3d, cls=None,
-                     iou_thresh: float = 0.1):
+                     iou_thresh: float = 0.1, used=None):
         """Best 3D detection by IoU of the projected 3D box with the 2D
-        detection bbox, gated by class match (the reference's
-        BoxAssociate2Dto3D, image_process.cpp:28-61: IoU > 0.1 of
-        Box3D::ProjectCorners + same category)."""
+        detection bbox, gated by exact class match, each 3D box consumed
+        at most once (the reference's BoxAssociate2Dto3D,
+        image_process.cpp:28-61: IoU > 0.1 of Box3D::ProjectCorners +
+        same category + match_vec consumption)."""
         from dynamic_vins_tpu.mot.tracker import iou
 
         want = perception.COCO_TO_KITTI.get(cls) if cls is not None \
             else None
-        best, best_iou = None, iou_thresh
-        for b in boxes3d:
-            if want is not None and b.class_name not in ("DontCare",
-                                                         want):
+        best, best_i, best_iou = None, None, iou_thresh
+        for bi, b in enumerate(boxes3d):
+            if used is not None and bi in used:
+                continue
+            if want is not None and b.class_name != want:
                 continue
             proj = self._project_box3d_bbox(b.bottom_center, b.dims,
                                             b.rotation_matrix())
@@ -367,7 +403,9 @@ class System:
                 continue
             i = iou(np.asarray(bbox2d, float), np.asarray(proj))
             if i > best_iou:
-                best, best_iou = b, i
+                best, best_i, best_iou = b, bi, i
+        if best is not None and used is not None:
+            used.add(best_i)
         return best
 
     def _qdet_world(self, box3d):
@@ -419,8 +457,10 @@ class System:
             elif det is not None and det.get("box3d") is not None:
                 b3 = det["box3d"]
                 bottom = np.asarray(b3.bottom_center, float)
-                hwl = (float(b3.dims[1]), float(b3.dims[0]),
-                       float(b3.dims[2]))
+                # Box3D.dims is (l, h, w) camera x,y,z extents
+                # (io/perception.py:106) -> KITTI h, w, l order
+                hwl = (float(b3.dims[1]), float(b3.dims[2]),
+                       float(b3.dims[0]))
                 yaw = float(b3.yaw)
                 R_co = b3.rotation_matrix()
                 dims = None
@@ -459,7 +499,12 @@ class System:
             self.mot_writer.close()
         # loop-corrected keyframe trajectory alongside the raw VIO one
         if self.loop_closer is not None and self.loop_closer.edges:
-            out = self.loop_closer.optimize()
+            # engine mesh mode: the PGO runs as a distributed solve too
+            pgo_mesh = None
+            if self.mesh is not None:
+                from jax.sharding import Mesh as _Mesh
+                pgo_mesh = _Mesh(self.mesh.devices, ("edge",))
+            out = self.loop_closer.optimize(mesh=pgo_mesh)
             if out is not None:
                 p, q, _ = out
                 path = self.tum_writer._f.name.replace(

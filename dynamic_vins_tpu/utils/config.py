@@ -59,6 +59,9 @@ class VioConfig:
     # estimator (vio_parameters.h)
     window_size: int = 10                          # kWinSize
     pipelined: bool = False    # device-resident pipelined steady state
+    # distributed engine mode (north star): shard the BA factor rows
+    # over an N-device jax mesh; 0/1 = single device
+    devices: int = 0
     max_solver_iterations: int = 8                 # 'max_num_iterations'
     keyframe_parallax: float = 10.0                # 'keyframe_parallax' px
     focal_length: float = 460.0
@@ -104,6 +107,11 @@ class VioConfig:
     # loop closure (north-star pose-graph phase; no reference analogue)
     use_loop_closure: bool = False                 # 'use_loop_closure'
     loop_keyframe_stride: int = 5                  # frames per db insert
+    # live relocalization: on an accepted loop edge, solve the pose
+    # graph and re-anchor the running window (4-DOF yaw+translation)
+    loop_live_correction: bool = True
+    loop_min_gap: int = 12          # keyframes between query and hit
+    loop_prox_radius: float = 4.0   # base proximity gate (m)
 
     # io
     image_dataset_period_ms: int = 100             # 'image_dataset_period'
@@ -131,6 +139,7 @@ class VioConfig:
             "F_threshold": ("f_threshold", float),
             "max_num_iterations": ("max_solver_iterations", int),
             "pipelined": ("pipelined", lambda v: bool(int(v))),
+            "devices": ("devices", int),
             "keyframe_parallax": ("keyframe_parallax", float),
             "estimate_extrinsic": ("estimate_extrinsic",
                                    lambda v: bool(int(v))),
@@ -155,6 +164,10 @@ class VioConfig:
             "use_loop_closure": ("use_loop_closure",
                                  lambda v: bool(int(v))),
             "loop_keyframe_stride": ("loop_keyframe_stride", int),
+            "loop_live_correction": ("loop_live_correction",
+                                     lambda v: bool(int(v))),
+            "loop_min_gap": ("loop_min_gap", int),
+            "loop_prox_radius": ("loop_prox_radius", float),
         }
         for key, (attr, conv) in mapping.items():
             if key in raw and raw[key] is not None:

@@ -2,6 +2,9 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e sequences; fast subset: -m 'not slow'
 
 from dynamic_vins_tpu.estimator.estimator import (Estimator,
                                                   EstimatorConfig,
@@ -192,3 +195,61 @@ def test_line_megastep_matches_multidispatch():
     assert est_fast.lines.orth_valid.sum() >= 5
     assert abs(ate_fast - ate_ref) < 0.01, (ate_fast, ate_ref)
     assert ate_fast < 0.08
+
+
+def test_line_pipelined_matches_sequential():
+    """LinePoint rides the device-resident pipelined steady state
+    (VERDICT r3 #2 — the `lines is None` gate is gone): outputs lag 2
+    frames but keep their stamps; trajectory must track the sequential
+    megastep path and lines must participate in the resident solve."""
+    F_total = 22
+    seq = sim.generate_sequence(num_frames=F_total, imu_hz=200.0,
+                                acc_noise=0.02, gyr_noise=0.002,
+                                num_landmarks=120, seed=0)
+    frames = frontend_sim.make_frames(seq, pixel_noise=0.5, seed=0)
+    s_w, e_w = frontend_sim.make_line_segments(40, seed=9)
+    line_obs = [frontend_sim.line_obs_for_frame(
+        seq, k, s_w, e_w, np.random.default_rng(100 + k))
+        for k in range(F_total)]
+
+    rig = seq.rig
+    p_bc = np.stack([np.asarray(rig.p_bc),
+                     np.asarray(rig.right_extrinsics()[0])])
+    q_bc = np.stack([np.asarray(rig.q_bc),
+                     np.asarray(rig.right_extrinsics()[1])])
+
+    def run(pipelined):
+        est = Estimator(EstimatorConfig(
+            num_frames=8, lm_capacity=256, obs_capacity=4096,
+            use_line=True, line_capacity=48, line_obs_capacity=384,
+            pipelined=pipelined), p_bc, q_bc)
+        est.set_initial_pose(
+            np.asarray(seq.gt_p[0]), np.asarray(seq.gt_q[0]),
+            np.asarray(sim.state_at(seq.frame_times[0])[2]))
+        outs = []
+        for k, (frame, imu) in enumerate(frames):
+            fr = FrameFeatures(frame.timestamp, frame.features,
+                               line_obs[k])
+            o = est.process_frame(fr, imu)
+            if o is not None:
+                outs.append(o)
+        outs.extend(est.flush())
+        assert not est.failed
+        assert len(outs) == F_total
+        # ordered, original timestamps
+        ts = np.array([o.timestamp for o in outs])
+        np.testing.assert_allclose(ts, np.asarray(seq.frame_times))
+        ate = frontend_sim.ate_rmse(
+            np.stack([o.p for o in outs]),
+            np.stack([np.asarray(sim.state_at(o.timestamp)[0])
+                      for o in outs]))
+        return ate, est
+
+    ate_pipe, est_pipe = run(True)
+    ate_seq, _ = run(False)
+    assert est_pipe.lines.orth_valid.sum() >= 5
+    # the pipelined path triangulates against <=2-frame-stale aligned
+    # poses and rejects line outliers with a 2-frame lag; small
+    # divergence is expected, gross divergence is a bug
+    assert abs(ate_pipe - ate_seq) < 0.015, (ate_pipe, ate_seq)
+    assert ate_pipe < 0.08, ate_pipe
