@@ -297,7 +297,7 @@ def main():
             est = Estimator(EstimatorConfig(
                 num_frames=11, lm_capacity=512, obs_capacity=8192,
                 use_line=True, line_capacity=64,
-                line_obs_capacity=512), p_bc, q_bc)
+                line_obs_capacity=512, pipelined=True), p_bc, q_bc)
             est.set_initial_pose(
                 np.asarray(seql.gt_p[0]), np.asarray(seql.gt_q[0]),
                 np.asarray(sim_mod.state_at(seql.frame_times[0])[2]))
