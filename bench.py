@@ -374,6 +374,10 @@ def main():
         cfgS.body_T_cam1 = T1.reshape(-1).tolist()
         frames_imu = frontend_sim.make_frames(seqS)
 
+        # host copy of the timestamps: float(device_scalar) inside the
+        # frame loop is a D2H sync that drains the whole device queue
+        ftS = np.asarray(seqS.frame_times)
+
         def drive_sys():
             sysm = System(cfgS, output_prefix="/tmp/dv_bench_sys")
             sysm.estimator.set_initial_pose(
@@ -381,9 +385,12 @@ def main():
                 np.asarray(sim_mod.state_at(seqS.frame_times[0])[2]))
             times = []
             for k in range(26):
+                if k == 14:        # stage means over steady state only
+                    from dynamic_vins_tpu.utils.timing import StageTimer
+                    sysm.timer = StageTimer()
                 _, imu = frames_imu[k]
                 f_t0 = time.perf_counter()
-                sysm.process(FrameInput(float(seqS.frame_times[k]),
+                sysm.process(FrameInput(float(ftS[k]),
                                         imgs[k][0], imgs[k][1],
                                         imu=imu))
                 times.append(time.perf_counter() - f_t0)

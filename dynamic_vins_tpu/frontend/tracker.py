@@ -11,19 +11,28 @@ Capability parity with `FeatureTracker`
 
 Host-side id/track bookkeeping; all image math in jitted kernels.
 Emits the estimator's FrameFeatures dict.
+
+Tunnel-aware split API: the feature slots + validity + the previous
+frame live ON DEVICE between frames, so `track_begin` needs exactly ONE
+host->device transfer (the stacked image pair, in its native dtype) and
+one dispatch, and `track_collect` one (async-prefetched) device->host
+fetch. Host-side decisions (RANSAC-F kills) ride the next dispatch as a
+tiny kill mask. `track_begin(k+1)` can therefore be dispatched BEFORE
+`track_collect(k)` — the System overlaps the tracker round trip with
+the backend's; `track()` is the sequential begin+collect composition.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from dynamic_vins_tpu.estimator.estimator import FrameFeatures
-from dynamic_vins_tpu.frontend import corners, lk, pyramid as pyr
+from dynamic_vins_tpu.frontend import corners, lk
 from dynamic_vins_tpu.geometry import camera as cam
 
 
@@ -43,6 +52,14 @@ class TrackerConfig:
     dtype: object = jnp.float32
 
 
+class TrackHandle(NamedTuple):
+    """In-flight frame: dispatched on device, not yet collected."""
+
+    timestamp: float
+    packed: object                # device array, async-copying to host
+    use_right: bool
+
+
 class FeatureTracker:
     def __init__(self, config: TrackerConfig,
                  intr_left: cam.PinholeIntrinsics,
@@ -52,14 +69,20 @@ class FeatureTracker:
         self.intr_right = intr_right if intr_right is not None else \
             intr_left
         N = config.max_cnt
+        # host mirrors (updated at collect time)
         self.pts = np.zeros((N, 2), np.float32)
         self.ids = np.full(N, -1, np.int64)
         self.track_cnt = np.zeros(N, np.int32)
         self.valid = np.zeros(N, bool)
-        self.prev_img = None
         self.prev_und = np.zeros((N, 2), np.float32)
         self.prev_time = None
         self._next_id = 0
+        # device residents: (prev_img_f32, pts, valid) — None until the
+        # first frame
+        self._dev = None
+        # host kills (RANSAC-F) consumed by the next dispatch
+        self._kill = np.zeros(N, bool)
+        self._dummy_mask = None
         self._tracker = lk.make_tracker(config.levels, config.radius,
                                         config.iters, config.fb_thresh,
                                         config.border)
@@ -68,29 +91,46 @@ class FeatureTracker:
         self._und_right = jax.jit(
             lambda uv: cam.normalized_from_pixel(self.intr_right, uv))
 
-        # ---- fused per-frame step: ONE dispatch + ONE packed fetch.
-        # On remote-attached chips each host<->device sync costs a
-        # tunnel round trip (~25-80 ms measured); the unfused tracker
-        # had 4-6 of them per frame.
+        # ---- fused per-frame step: ONE upload + ONE dispatch + ONE
+        # packed fetch. On remote-attached chips each host<->device sync
+        # costs a tunnel round trip (~25-80 ms measured); the unfused
+        # tracker had 4-6 of them per frame, and separate left/right
+        # image uploads paid the RTT twice more.
         tracker = self._tracker
         intr_l, intr_r = self.intr_left, self.intr_right
         mind, bord = config.min_dist, config.border
+        fbt = config.fb_thresh
+        dtype = config.dtype
 
         def _mask_at(mask, pts, H, W):
             xi = jnp.clip(pts[:, 0].astype(jnp.int32), 0, W - 1)
             yi = jnp.clip(pts[:, 1].astype(jnp.int32), 0, H - 1)
             return mask[yi, xi]
 
-        def _fused(prev_img, img, img_r, pts, valid, mask, use_right):
+        def _fused(prev_img, imgs, flow, pts, valid, kill, mask,
+                   use_right, use_mask, use_flow):
+            # imgs: [1 or 2, H, W] native dtype (uint8 rides the tunnel
+            # 4x cheaper); cast on device
+            img = imgs[0].astype(dtype)
+            img_r = imgs[1].astype(dtype) if use_right else img
             H, W = img.shape
-            p1, ok = tracker(prev_img, img, pts, valid)
-            ok = ok & valid & _mask_at(mask, p1, H, W)
+            valid = valid & ~kill
+            if use_flow:
+                p1, ok = lk.track_by_dense_flow(flow, pts, valid,
+                                                fb_thresh=fbt,
+                                                border=bord)
+            else:
+                p1, ok = tracker(prev_img, img, pts, valid)
+            ok = ok & valid
+            if use_mask:
+                ok = ok & _mask_at(mask, p1, H, W)
             pts_a = jnp.where(ok[:, None], p1, pts)
 
             cpts, cscore, cfound = corners.detect(
                 img, max_corners=N, min_dist=mind, exclude_pts=pts_a,
                 exclude_valid=ok, border=bord)
-            cfound = cfound & _mask_at(mask, cpts, H, W)
+            if use_mask:
+                cfound = cfound & _mask_at(mask, cpts, H, W)
             # greedy slot assignment: found corners are a score-sorted
             # prefix; free slots (invalid-first) take them in order
             free = jnp.argsort(ok, stable=True)          # invalid first
@@ -106,90 +146,82 @@ class FeatureTracker:
                 pr, okr = tracker(img, img_r, pts_b, valid_b)
                 und_r = cam.normalized_from_pixel(intr_r, pr)
             else:
-                pr = pts_b
                 okr = jnp.zeros(N, bool)
                 und_r = und
             f = lambda a: a.astype(jnp.float32).ravel()
-            return jnp.concatenate([
+            packed = jnp.concatenate([
                 f(pts_b), f(und), f(und_r), f(ok), f(newly), f(okr)])
+            return img, pts_b, valid_b, packed
 
-        self._fused = {
-            True: jax.jit(lambda *a: _fused(*a, True)),
-            False: jax.jit(lambda *a: _fused(*a, False))}
+        self._variants = {}
+        for ur in (False, True):
+            for um in (False, True):
+                for uf in (False, True):
+                    self._variants[(ur, um, uf)] = jax.jit(
+                        (lambda _ur, _um, _uf: lambda *a: _fused(
+                            *a, _ur, _um, _uf))(ur, um, uf))
+        self._cast0 = jax.jit(lambda imgs: imgs[0].astype(dtype))
+        N_const = N
+        self._zeros_state = jax.jit(
+            lambda: (jnp.zeros((N_const, 2), dtype),
+                     jnp.zeros((N_const,), bool)))
 
-        # dense-flow variant (use_dense_flow: the reference's
-        # FeatureTrackByDenseFlow, feature_utils.cpp:213, samples the
-        # RAFT field at each feature instead of running temporal LK;
-        # stereo left->right stays sparse LK). Same fused single
-        # dispatch, flow field replacing the prev->cur track.
-        fbt = config.fb_thresh
+    # ------------------------------------------------------------------
+    def track_begin(self, img, timestamp: float, mask=None,
+                    img_right=None, flow=None) -> TrackHandle:
+        """Upload + dispatch one frame; returns a handle whose results
+        `track_collect` unpacks. Safe to call before collecting the
+        previous handle (the in-flight frames overlap on device)."""
+        cfg = self.cfg
+        use_right = bool(cfg.stereo and img_right is not None)
+        img_np = np.asarray(img)
+        if use_right:
+            stack = np.stack([img_np, np.asarray(img_right,
+                                                 img_np.dtype)])
+        else:
+            stack = img_np[None]
+        imgs_dev = jnp.asarray(stack)
 
-        def _fused_flow(img, img_r, flow, pts, valid, mask, use_right):
-            H, W = img.shape
-            p1, ok = lk.track_by_dense_flow(flow, pts, valid,
-                                            fb_thresh=fbt, border=bord)
-            ok = ok & valid & _mask_at(mask, p1, H, W)
-            pts_a = jnp.where(ok[:, None], p1, pts)
+        if self._dev is None:
+            prev = self._cast0(imgs_dev)
+            pts_dev, valid_dev = self._zeros_state()
+            first = True
+        else:
+            prev, pts_dev, valid_dev = self._dev
+            first = False
 
-            cpts, cscore, cfound = corners.detect(
-                img, max_corners=N, min_dist=mind, exclude_pts=pts_a,
-                exclude_valid=ok, border=bord)
-            cfound = cfound & _mask_at(mask, cpts, H, W)
-            free = jnp.argsort(ok, stable=True)
-            num_free = N - jnp.sum(ok)
-            take = (jnp.arange(N) < num_free) & cfound
-            pts_b = pts_a.at[free].set(
-                jnp.where(take[:, None], cpts, pts_a[free]))
-            newly = jnp.zeros(N, bool).at[free].set(take)
-            valid_b = ok | newly
+        use_flow = flow is not None and not first
+        use_mask = mask is not None
+        if use_mask:
+            mask_dev = jnp.asarray(mask)
+        else:
+            if self._dummy_mask is None:
+                self._dummy_mask = jnp.zeros((1, 1), bool)
+            mask_dev = self._dummy_mask
+        flow_dev = jnp.asarray(flow, cfg.dtype) if use_flow \
+            else jnp.zeros((1, 1, 2), cfg.dtype)
 
-            und = cam.normalized_from_pixel(intr_l, pts_b)
-            if use_right:
-                pr, okr = tracker(img, img_r, pts_b, valid_b)
-                und_r = cam.normalized_from_pixel(intr_r, pr)
-            else:
-                pr = pts_b
-                okr = jnp.zeros(N, bool)
-                und_r = und
-            f = lambda a: a.astype(jnp.float32).ravel()
-            return jnp.concatenate([
-                f(pts_b), f(und), f(und_r), f(ok), f(newly), f(okr)])
+        kill_dev = jnp.asarray(self._kill)
+        self._kill = np.zeros(cfg.max_cnt, bool)
 
-        self._fused_flow = {
-            True: jax.jit(lambda *a: _fused_flow(*a, True)),
-            False: jax.jit(lambda *a: _fused_flow(*a, False))}
+        fn = self._variants[(use_right, use_mask, use_flow)]
+        img2, pts2, valid2, packed = fn(prev, imgs_dev, flow_dev,
+                                        pts_dev, valid_dev, kill_dev,
+                                        mask_dev)
+        self._dev = (img2, pts2, valid2)
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        return TrackHandle(timestamp, packed, use_right)
 
-    def track(self, img, timestamp: float, mask=None,
-              img_right=None, flow=None) -> FrameFeatures:
-        """Process one (grayscale float [H,W]) frame; returns features.
-
-        mask: optional [H,W] bool — True where tracking is ALLOWED
-        (the reference's inv_merge_mask semantics).
-        flow: optional [H,W,2] dense prev->cur flow field; when given,
-        features are tracked by sampling it (use_dense_flow mode)
-        instead of sparse temporal LK."""
+    def track_collect(self, handle: TrackHandle) -> FrameFeatures:
+        """Fetch + unpack a dispatched frame; host id/velocity/RANSAC
+        bookkeeping. Must be called in dispatch order."""
         cfg = self.cfg
         N = cfg.max_cnt
-        img = jnp.asarray(img, cfg.dtype)
-        H, W = img.shape
-
-        use_right = bool(cfg.stereo and img_right is not None)
-        img_r = jnp.asarray(img_right, cfg.dtype) if use_right else img
-        mask_dev = jnp.ones((H, W), bool) if mask is None \
-            else jnp.asarray(mask)
-        prev = self.prev_img if self.prev_img is not None else img
-        valid_in = self.valid if self.prev_img is not None \
-            else np.zeros(N, bool)
-
-        if flow is not None and self.prev_img is not None:
-            out = np.array(self._fused_flow[use_right](
-                img, img_r, jnp.asarray(flow, cfg.dtype),
-                jnp.asarray(self.pts, cfg.dtype),
-                jnp.asarray(valid_in), mask_dev))
-        else:
-            out = np.array(self._fused[use_right](
-                prev, img, img_r, jnp.asarray(self.pts, cfg.dtype),
-                jnp.asarray(valid_in), mask_dev))
+        timestamp = handle.timestamp
+        out = np.asarray(handle.packed)
         pts_b, und, und_r, okf, newf, okrf = np.split(
             out, np.cumsum([2 * N, 2 * N, 2 * N, N, N]))
         self.pts = pts_b.reshape(N, 2).astype(np.float32)
@@ -208,7 +240,8 @@ class FeatureTracker:
         self.track_cnt[slots] = 1
         self.valid = tracked | newly
 
-        # 2b. epipolar outlier rejection (FeatureTracker::rejectWithF)
+        # 2b. epipolar outlier rejection (FeatureTracker::rejectWithF);
+        # kills ride the NEXT dispatch's kill mask
         if cfg.use_ransac_f and self.prev_und is not None \
                 and int((self.valid & (self.track_cnt > 1)).sum()) >= 15:
             try:
@@ -223,6 +256,7 @@ class FeatureTracker:
                 if inl is not None:
                     bad = sel[~inl.ravel().astype(bool)]
                     self.valid[bad] = False
+                    self._kill[bad] = True
             except Exception:
                 pass
 
@@ -235,7 +269,7 @@ class FeatureTracker:
 
         # 4. stereo obs (computed in the fused step)
         right = {}
-        if use_right:
+        if handle.use_right:
             for i in np.flatnonzero(ok_r & self.valid):
                 right[i] = und_r[i]
 
@@ -249,10 +283,21 @@ class FeatureTracker:
             else:
                 feats[int(self.ids[i])] = (pl, vl, None, None)
 
-        self.prev_img = img
         self.prev_und = und
         self.prev_time = timestamp
         return FrameFeatures(timestamp, feats)
+
+    def track(self, img, timestamp: float, mask=None,
+              img_right=None, flow=None) -> FrameFeatures:
+        """Process one (grayscale [H,W]) frame synchronously.
+
+        mask: optional [H,W] bool — True where tracking is ALLOWED
+        (the reference's inv_merge_mask semantics).
+        flow: optional [H,W,2] dense prev->cur flow field; when given,
+        features are tracked by sampling it (use_dense_flow mode)
+        instead of sparse temporal LK."""
+        return self.track_collect(self.track_begin(
+            img, timestamp, mask=mask, img_right=img_right, flow=flow))
 
     @staticmethod
     def _mask_ok(mask, pts):

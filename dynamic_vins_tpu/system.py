@@ -174,34 +174,50 @@ class System:
         self.frame_idx = 0
         self._tid_remap: Dict[int, int] = {}
         self._last_dets: Dict[int, dict] = {}
+        # pipelined frontend (tunnel-aware): dispatch the fused tracker
+        # for frame k, collect frame k-1 — the tracker's device round
+        # trip overlaps the backend's in-flight solve. RAW/NAIVE only
+        # (the dynamic instance pipeline keeps its own overlap inside
+        # the estimator); the reference gets the same overlap from its
+        # FeatureTrack/ProcessMeasurements threads (main.cpp:394-404).
+        self._fe_pending: List[tuple] = []
+        self._use_async_fe = bool(cfg.pipelined
+                                  and cfg.slam != SlamMode.DYNAMIC)
 
     # ------------------------------------------------------------------
     def process(self, fi: FrameInput):
         cfg = self.cfg
         t = self.timer
 
+        if self._use_async_fe:
+            with t.stage("perception"):
+                self._run_perception_nets(fi)
+                masks_by_tid, background_mask = self._perception(fi)
+            with t.stage("frontend"):
+                h = self.tracker.track_begin(
+                    fi.img_left, fi.timestamp, mask=background_mask,
+                    img_right=fi.img_right, flow=self.last_flow)
+                lines = None
+                if self.line_tracker is not None:
+                    segs, right = self.line_tracker.track(
+                        np.asarray(fi.img_left), mask=background_mask,
+                        img_right=(np.asarray(fi.img_right)
+                                   if fi.img_right is not None
+                                   else None))
+                    lines = self._lines_to_obs(segs, right)
+                self._fe_pending.append((h, fi, lines))
+                if len(self._fe_pending) <= 1:
+                    return None
+                h0, fi0, lines0 = self._fe_pending.pop(0)
+                feats = self.tracker.track_collect(h0)
+                if lines0 is not None:
+                    feats = feats._replace(lines=lines0)
+            return self._finish_frame(fi0, feats, None)
+
         # ---- perception: build masks / instances ----------------------
         with t.stage("perception"):
-            if self.det2d is not None and fi.seg is None:
-                fi.seg = self.det2d(fi.img_left)
-            if self.det3d is not None and not fi.boxes3d:
-                fi.boxes3d = self.det3d(fi.img_left)
-            if (self.stereo_net is not None and fi.disparity is None
-                    and fi.img_right is not None):
-                fi.disparity = self.stereo_net(fi.img_left,
-                                               fi.img_right)
-            if fi.flow is not None:
-                self.last_flow = fi.flow          # offline artifact
-            elif self.flow_net is not None:
-                self.last_flow = self.flow_net(self._prev_img,
-                                               fi.img_left) \
-                    if self._prev_img is not None else None
-                self._prev_img = fi.img_left
-            else:
-                self.last_flow = None
+            self._run_perception_nets(fi)
             masks_by_tid, background_mask = self._perception(fi)
-            self._last_dets = {tid: det for tid, (_, det)
-                               in masks_by_tid.items()}
 
         # ---- background tracking --------------------------------------
         with t.stage("frontend"):
@@ -247,7 +263,34 @@ class System:
                         data["q_det"] = det["q_det"]
                     instances[tid] = data
 
-        # ---- backend ---------------------------------------------------
+        return self._finish_frame(fi, feats, instances)
+
+    # ------------------------------------------------------------------
+    def _run_perception_nets(self, fi: FrameInput):
+        """Online perception stages (offline artifacts pass through)."""
+        if self.det2d is not None and fi.seg is None:
+            fi.seg = self.det2d(fi.img_left)
+        if self.det3d is not None and not fi.boxes3d:
+            fi.boxes3d = self.det3d(fi.img_left)
+        if (self.stereo_net is not None and fi.disparity is None
+                and fi.img_right is not None):
+            fi.disparity = self.stereo_net(fi.img_left,
+                                           fi.img_right)
+        if fi.flow is not None:
+            self.last_flow = fi.flow          # offline artifact
+        elif self.flow_net is not None:
+            self.last_flow = self.flow_net(self._prev_img,
+                                           fi.img_left) \
+                if self._prev_img is not None else None
+            self._prev_img = fi.img_left
+        else:
+            self.last_flow = None
+
+    def _finish_frame(self, fi: FrameInput, feats, instances):
+        """Backend + loop closure + output for one (possibly lagged)
+        frame's collected frontend features."""
+        cfg = self.cfg
+        t = self.timer
         with t.stage("backend"):
             out = self.estimator.process_frame(feats, fi.imu,
                                                instances=instances)
@@ -328,6 +371,8 @@ class System:
                 masks_by_tid[tid] = (masks[det_i], det)
                 merged |= masks[det_i]
         background = ~merged if masks_by_tid else None
+        self._last_dets = {tid: det for tid, (_, det)
+                           in masks_by_tid.items()}
         return masks_by_tid, background
 
     def _lines_to_obs(self, segs, right):
@@ -491,6 +536,13 @@ class System:
                 bottom, yaw, score=1.0)
 
     def close(self):
+        # pipelined frontend: collect + finish the in-flight frame
+        while self._fe_pending:
+            h0, fi0, lines0 = self._fe_pending.pop(0)
+            feats = self.tracker.track_collect(h0)
+            if lines0 is not None:
+                feats = feats._replace(lines=lines0)
+            self._finish_frame(fi0, feats, None)
         # pipelined estimator: drain the in-flight frames first
         for out in self.estimator.flush():
             self.tum_writer.write(out.timestamp, out.p, out.q)
