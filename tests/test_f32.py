@@ -53,7 +53,13 @@ ate = frontend_sim.ate_rmse(
     np.stack([o.p for o in outs]),
     np.stack([np.asarray(sim_mod.state_at(o.timestamp)[0])
               for o in outs]))
-print(json.dumps({"ate": float(ate), "frames": len(outs)}))
+from dynamic_vins_tpu.io import evaluation as ev
+t = np.array([o.timestamp for o in outs])
+p = np.stack([o.p for o in outs])
+gt = np.stack([np.asarray(sim_mod.state_at(ts)[0]) for ts in t])
+ate_aligned = ev.ate_rmse(t, p, t, gt, align=True)
+print(json.dumps({"ate": float(ate), "ate_aligned": float(ate_aligned),
+                  "frames": len(outs)}))
 """
 
 _SOLVER_SCRIPT = r"""
@@ -113,3 +119,6 @@ def test_e2e_ate_f32():
     res = _run_f32(_E2E_SCRIPT)
     assert res["frames"] >= 40
     assert res["ate"] < 0.10, res
+    # reference protocol (evo_ape --align): gauge removed, the stable
+    # drift-shape metric; measured 0.020-0.025 across seeds in f32
+    assert res["ate_aligned"] < 0.045, res
