@@ -54,6 +54,7 @@ def run_synthetic(args):
                                       seed=args.seed)
     cfg.use_loop_closure = getattr(args, 'loop_closure', False)
     cfg.devices = getattr(args, 'devices', 0)
+    cfg.pipelined = getattr(args, 'pipelined', False)
     sysm = System(cfg, output_prefix=args.output)
     # synthetic mode: bypass the image frontend, feed simulated features
     sysm.estimator.set_initial_pose(
@@ -64,6 +65,10 @@ def run_synthetic(args):
     for feats, imu in frames:
         with sysm.timer.stage("backend"):
             out = sysm.estimator.process_frame(feats, imu)
+        if out is not None:           # pipelined: outputs lag dispatch
+            outs.append(out)
+            sysm.tum_writer.write(out.timestamp, out.p, out.q)
+    for out in sysm.estimator.flush():
         outs.append(out)
         sysm.tum_writer.write(out.timestamp, out.p, out.q)
     wall = time.perf_counter() - t0
@@ -120,6 +125,7 @@ def run_euroc(args):
 
     cfg.use_loop_closure = getattr(args, 'loop_closure', False)
     cfg.devices = getattr(args, 'devices', 0)
+    cfg.pipelined = getattr(args, 'pipelined', False)
     sysm = System(cfg, output_prefix=args.output)
     prev_t = None
     count = 0
@@ -206,6 +212,7 @@ def run_viode(args, custom: bool = False):
 
     cfg.use_loop_closure = getattr(args, 'loop_closure', False)
     cfg.devices = getattr(args, 'devices', 0)
+    cfg.pipelined = getattr(args, 'pipelined', False)
     sysm = System(cfg, output_prefix=args.output)
     prev_t = None
     count = 0
@@ -273,6 +280,7 @@ def run_kitti(args):
     ds = KittiTrackingDataset(args.left, args.right)
     cfg.use_loop_closure = getattr(args, 'loop_closure', False)
     cfg.devices = getattr(args, 'devices', 0)
+    cfg.pipelined = getattr(args, 'pipelined', False)
     sysm = System(cfg, output_prefix=args.output)
     count = 0
     t0 = time.perf_counter()
@@ -330,6 +338,9 @@ def main(argv=None):
                     help="offline FCOS3D txt dir")
     ap.add_argument("--disp-dir", default=None,
                     help="offline LEAStereo disparity PNG dir")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="device-resident pipelined steady state"
+                         " (frontend + backend overlap)")
     ap.add_argument("--loop-closure", action="store_true",
                     help="keyframe db + loop edges + pose-graph solve")
     ap.add_argument("--devices", type=int, default=0,
