@@ -402,7 +402,8 @@ def main():
                 np.asarray(sim_mod.state_at(seqS.frame_times[0])[2]))
             times = []
             for k in range(26):
-                if k == 14:        # stage means over steady state only
+                if k == 16:        # stage means over steady state only
+                    # (k=14 can still pay a one-off persistent-cache load)
                     from dynamic_vins_tpu.utils.timing import StageTimer
                     sysm.timer = StageTimer()
                 _, imu = frames_imu[k]
