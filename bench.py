@@ -404,8 +404,7 @@ def main():
             for k in range(26):
                 if k == 16:        # stage means over steady state only
                     # (k=14 can still pay a one-off persistent-cache load)
-                    from dynamic_vins_tpu.utils.timing import StageTimer
-                    sysm.timer = StageTimer()
+                    sysm.reset_timers()
                 _, imu = frames_imu[k]
                 f_t0 = time.perf_counter()
                 sysm.process(FrameInput(float(ftS[k]),

@@ -24,6 +24,8 @@ the backend's; `track()` is the sequential begin+collect composition.
 
 from __future__ import annotations
 
+import contextlib
+import time as _time
 from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
@@ -58,6 +60,7 @@ class TrackHandle(NamedTuple):
     timestamp: float
     packed: object                # device array, async-copying to host
     use_right: bool
+    killed: object                # host kill mask this dispatch consumed
 
 
 class FeatureTracker:
@@ -82,7 +85,15 @@ class FeatureTracker:
         self._dev = None
         # host kills (RANSAC-F) consumed by the next dispatch
         self._kill = np.zeros(N, bool)
+        # kills not yet ridden by a dispatch: with an in-flight frame
+        # (pipelined split) the next collect would otherwise resurrect
+        # a confirmed epipolar outlier for one extra frame (ADVICE r4)
+        self._pending_kill = np.zeros(N, bool)
         self._dummy_mask = None
+        # optional sub-stage observability (the reference times every
+        # frontend sub-stage, background_tracker.cpp:72,98); the System
+        # shares its StageTimer so bench can attribute the frontend ms
+        self.timer = None
         self._tracker = lk.make_tracker(config.levels, config.radius,
                                         config.iters, config.fb_thresh,
                                         config.border)
@@ -174,13 +185,14 @@ class FeatureTracker:
         previous handle (the in-flight frames overlap on device)."""
         cfg = self.cfg
         use_right = bool(cfg.stereo and img_right is not None)
-        img_np = np.asarray(img)
-        if use_right:
-            stack = np.stack([img_np, np.asarray(img_right,
-                                                 img_np.dtype)])
-        else:
-            stack = img_np[None]
-        imgs_dev = jnp.asarray(stack)
+        with self._st("fe.upload"):
+            img_np = np.asarray(img)
+            if use_right:
+                stack = np.stack([img_np, np.asarray(img_right,
+                                                     img_np.dtype)])
+            else:
+                stack = img_np[None]
+            imgs_dev = jnp.asarray(stack)
 
         if self._dev is None:
             prev = self._cast0(imgs_dev)
@@ -201,19 +213,25 @@ class FeatureTracker:
         flow_dev = jnp.asarray(flow, cfg.dtype) if use_flow \
             else jnp.zeros((1, 1, 2), cfg.dtype)
 
-        kill_dev = jnp.asarray(self._kill)
+        kill_np = self._kill
+        kill_dev = jnp.asarray(kill_np)
         self._kill = np.zeros(cfg.max_cnt, bool)
 
         fn = self._variants[(use_right, use_mask, use_flow)]
-        img2, pts2, valid2, packed = fn(prev, imgs_dev, flow_dev,
-                                        pts_dev, valid_dev, kill_dev,
-                                        mask_dev)
-        self._dev = (img2, pts2, valid2)
-        try:
-            packed.copy_to_host_async()
-        except Exception:
-            pass
-        return TrackHandle(timestamp, packed, use_right)
+        with self._st("fe.dispatch"):
+            img2, pts2, valid2, packed = fn(prev, imgs_dev, flow_dev,
+                                            pts_dev, valid_dev,
+                                            kill_dev, mask_dev)
+            self._dev = (img2, pts2, valid2)
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass
+        return TrackHandle(timestamp, packed, use_right, kill_np)
+
+    def _st(self, name: str):
+        return self.timer.stage(name) if self.timer is not None \
+            else contextlib.nullcontext()
 
     def track_collect(self, handle: TrackHandle) -> FrameFeatures:
         """Fetch + unpack a dispatched frame; host id/velocity/RANSAC
@@ -221,7 +239,9 @@ class FeatureTracker:
         cfg = self.cfg
         N = cfg.max_cnt
         timestamp = handle.timestamp
-        out = np.asarray(handle.packed)
+        with self._st("fe.fetch"):
+            out = np.asarray(handle.packed)
+        _t_host0 = _time.perf_counter()
         pts_b, und, und_r, okf, newf, okrf = np.split(
             out, np.cumsum([2 * N, 2 * N, 2 * N, N, N]))
         self.pts = pts_b.reshape(N, 2).astype(np.float32)
@@ -230,6 +250,14 @@ class FeatureTracker:
         tracked = okf > 0.5
         newly = newf > 0.5
         ok_r = (okrf > 0.5)
+
+        # kills that rode this dispatch have taken effect on device
+        # (slot freed, possibly re-assigned a NEW corner); suppress the
+        # rest so a RANSAC outlier is never republished while its kill
+        # is still in flight behind an already-dispatched frame
+        self._pending_kill &= ~handle.killed
+        tracked &= ~self._pending_kill
+        newly &= ~self._pending_kill
 
         # host bookkeeping: track counts + ids for new slots
         self.track_cnt = np.where(tracked, self.track_cnt + 1, 0)
@@ -257,6 +285,7 @@ class FeatureTracker:
                     bad = sel[~inl.ravel().astype(bool)]
                     self.valid[bad] = False
                     self._kill[bad] = True
+                    self._pending_kill[bad] = True
             except Exception:
                 pass
 
@@ -285,6 +314,10 @@ class FeatureTracker:
 
         self.prev_und = und
         self.prev_time = timestamp
+        if self.timer is not None:
+            self.timer.totals["fe.host"] += (_time.perf_counter()
+                                             - _t_host0)
+            self.timer.counts["fe.host"] += 1
         return FrameFeatures(timestamp, feats)
 
     def track(self, img, timestamp: float, mask=None,

@@ -76,6 +76,7 @@ class System:
         self.tracker = FeatureTracker(
             TrackerConfig(max_cnt=cfg.max_cnt, min_dist=cfg.min_dist,
                           stereo=cfg.is_stereo), intr, intr_r)
+        self.tracker.timer = self.timer    # fe.* sub-stage breakdown
         # LinePoint mode (reference: TrackImageLine/TrackSemanticImage
         # spawn the line-detection thread, background_tracker.cpp:198,
         # 775-780; here the LSD tracker runs in the frontend stage and
@@ -183,6 +184,11 @@ class System:
         self._fe_pending: List[tuple] = []
         self._use_async_fe = bool(cfg.pipelined
                                   and cfg.slam != SlamMode.DYNAMIC)
+        # recent frames buffered for loop keyframing: the pipelined
+        # estimator's output lags the input by up to 2 frames, so the
+        # keyframe image must be the one whose timestamp matches the
+        # output pose, not the frame being fed in (ADVICE r4)
+        self._loop_fi_buf: Dict[float, tuple] = {}
 
     # ------------------------------------------------------------------
     def process(self, fi: FrameInput):
@@ -199,12 +205,14 @@ class System:
                     img_right=fi.img_right, flow=self.last_flow)
                 lines = None
                 if self.line_tracker is not None:
-                    segs, right = self.line_tracker.track(
-                        np.asarray(fi.img_left), mask=background_mask,
-                        img_right=(np.asarray(fi.img_right)
-                                   if fi.img_right is not None
-                                   else None))
-                    lines = self._lines_to_obs(segs, right)
+                    with t.stage("fe.lsd"):
+                        segs, right = self.line_tracker.track(
+                            np.asarray(fi.img_left),
+                            mask=background_mask,
+                            img_right=(np.asarray(fi.img_right)
+                                       if fi.img_right is not None
+                                       else None))
+                        lines = self._lines_to_obs(segs, right)
                 self._fe_pending.append((h, fi, lines))
                 if len(self._fe_pending) <= 1:
                     return None
@@ -266,6 +274,14 @@ class System:
         return self._finish_frame(fi, feats, instances)
 
     # ------------------------------------------------------------------
+    def reset_timers(self):
+        """Fresh StageTimer shared by System + tracker (bench uses this
+        to restrict stage means to the steady state)."""
+        self.timer = StageTimer()
+        self.tracker.timer = self.timer
+        return self.timer
+
+    # ------------------------------------------------------------------
     def _run_perception_nets(self, fi: FrameInput):
         """Online perception stages (offline artifacts pass through)."""
         if self.det2d is not None and fi.seg is None:
@@ -297,12 +313,20 @@ class System:
 
         # ---- loop closure (off the critical path: strided keyframes) --
         drained = []
-        if (self.loop_closer is not None and out is not None
-                and self.frame_idx % cfg.loop_keyframe_stride == 0):
+        if self.loop_closer is not None:
+            self._loop_fi_buf[fi.timestamp] = (
+                fi.img_left, fi.disparity, self.frame_idx)
+            while len(self._loop_fi_buf) > 8:
+                self._loop_fi_buf.pop(next(iter(self._loop_fi_buf)))
+        kf = self._loop_fi_buf.pop(out.timestamp, None) \
+            if (self.loop_closer is not None and out is not None) \
+            else None
+        if kf is not None and kf[2] % cfg.loop_keyframe_stride == 0:
+            kf_img, kf_disp, kf_idx = kf
             with t.stage("loop"):
                 edge = self.loop_closer.add_keyframe(
-                    fi.img_left, out.timestamp, out.p, out.q,
-                    disparity=fi.disparity, frame_idx=self.frame_idx)
+                    kf_img, out.timestamp, out.p, out.q,
+                    disparity=kf_disp, frame_idx=kf_idx)
                 if edge is not None and cfg.loop_live_correction:
                     # live relocalization: solve the pose graph and
                     # re-anchor the running window so post-loop
