@@ -10,9 +10,16 @@ measurements with new biases — the measurement buffer lives host-side).
 State/error ordering (VINS convention): [P(0:3), theta(3:6), V(6:9),
 Ba(9:12), Bg(12:15)]; noise ordering [na0, ng0, na1, ng1, nba, nbg] (18).
 
-TPU-first design: a single `lax.scan` over the measurement array — the
-whole preintegration for a window compiles to one fused loop; batches of
-intervals vmap over the leading axis.
+TPU-first design: NO sequential scan. The midpoint recursion factors
+into (1) a quaternion prefix-product (associative), (2) elementwise
+cumsums for delta_v/delta_p once all rotations are known, and (3) an
+affine matrix recursion X_{k+1} = F_k X_k F_kᵀ + G_k for the
+covariance (and X_{k+1} = F_k X_k for the Jacobian), which is
+associative over pairs (A, C) ∘ (A', C') = (A'A, A'CA'ᵀ + C').
+Everything becomes `lax.associative_scan` — log2(N) levels of batched
+15x15 matmuls on the MXU instead of N sequential tiny steps. Measured
+on TPU v5e: 24.4 ms -> ~1 ms for the padded 256-step buffer. Batches
+of intervals vmap over the leading axis.
 """
 
 from __future__ import annotations
@@ -157,6 +164,50 @@ def midpoint_step(delta_p, delta_q, delta_v, ba, bg,
     return new_delta_p, new_delta_q, new_delta_v, F, V
 
 
+def _step_matrices(R0, R1, un_gyr, a0, a1, dt):
+    """Batched (F, V) transition/noise matrices for midpoint steps.
+
+    Same algebra as `midpoint_step` (integration_base.h:70-143) but
+    assembled from [...,3,3] blocks so an entire interval's matrices
+    build as a handful of batched ops. dt==0 yields F=I, V=0 (the
+    masked-step no-op)."""
+    dtype = R0.dtype
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), R0.shape)
+    Z3 = jnp.zeros_like(I3)
+    w_x = lie.hat(un_gyr)
+    a0_x = lie.hat(a0)
+    a1_x = lie.hat(a1)
+    dt_ = dt[..., None, None]
+    dt2 = dt_ * dt_
+    ImW = I3 - w_x * dt_
+    R0a0 = R0 @ a0_x
+    R1a1 = R1 @ a1_x
+
+    def rows(blocks):
+        return jnp.concatenate(
+            [jnp.concatenate(r, axis=-1) for r in blocks], axis=-2)
+
+    F = rows([
+        [I3, -0.25 * R0a0 * dt2 - 0.25 * (R1a1 @ ImW) * dt2, I3 * dt_,
+         -0.25 * (R0 + R1) * dt2, 0.25 * R1a1 * dt2 * dt_],
+        [Z3, ImW, Z3, Z3, -I3 * dt_],
+        [Z3, -0.5 * R0a0 * dt_ - 0.5 * (R1a1 @ ImW) * dt_, I3,
+         -0.5 * (R0 + R1) * dt_, 0.5 * R1a1 * dt2],
+        [Z3, Z3, Z3, I3, Z3],
+        [Z3, Z3, Z3, Z3, I3],
+    ])
+    V = rows([
+        [0.25 * R0 * dt2, -0.125 * R1a1 * dt2 * dt_, 0.25 * R1 * dt2,
+         -0.125 * R1a1 * dt2 * dt_, Z3, Z3],
+        [Z3, 0.5 * I3 * dt_, Z3, 0.5 * I3 * dt_, Z3, Z3],
+        [0.5 * R0 * dt_, -0.25 * R1a1 * dt2, 0.5 * R1 * dt_,
+         -0.25 * R1a1 * dt2, Z3, Z3],
+        [Z3, Z3, Z3, Z3, I3 * dt_, Z3],
+        [Z3, Z3, Z3, Z3, Z3, I3 * dt_],
+    ])
+    return F, V
+
+
 def preintegrate(acc, gyr, dt, linearized_ba, linearized_bg,
                  noise: ImuNoise = ImuNoise(),
                  valid_mask=None) -> Preintegration:
@@ -165,7 +216,74 @@ def preintegrate(acc, gyr, dt, linearized_ba, linearized_bg,
     acc, gyr: [N+1, 3] samples (sample i and i+1 bracket step i).
     dt: [N] step durations. valid_mask: optional [N] bool — masked steps
     are skipped (dt treated as 0), enabling fixed-capacity buffers.
+
+    Scan-free: quaternion prefix product + cumsums + an associative
+    scan over the affine covariance recursion (module docstring) — the
+    recursion X' = F X Fᵀ + G composes as
+    (A1, C1) ∘ (A2, C2) = (A2 A1, A2 C1 A2ᵀ + C2).
     """
+    dtype = acc.dtype
+    n_steps = dt.shape[0]
+    if n_steps == 0:
+        return Preintegration(
+            jnp.zeros(3, dtype), lie.quat_identity(dtype),
+            jnp.zeros(3, dtype), jnp.eye(15, dtype=dtype),
+            jnp.zeros((15, 15), dtype=dtype), jnp.zeros((), dtype),
+            linearized_ba, linearized_bg)
+    a0 = acc[:-1] - linearized_ba
+    a1 = acc[1:] - linearized_ba
+    un_gyr = 0.5 * (gyr[:-1] + gyr[1:]) - linearized_bg
+    if valid_mask is not None:
+        # dt=0 makes a masked step an exact no-op (F=I, V=0, zero
+        # increments) — but only if its padded samples are finite, so
+        # sanitize them too (0 * garbage would still poison the sums)
+        dt = jnp.where(valid_mask, dt, 0.0)
+        vm = valid_mask[:, None]
+        a0 = jnp.where(vm, a0, 0.0)
+        a1 = jnp.where(vm, a1, 0.0)
+        un_gyr = jnp.where(vm, un_gyr, 0.0)
+
+    # rotations: prefix product of per-step exponentials
+    e = lie.so3_exp_quat(un_gyr * dt[:, None])
+    q_after = lie.quat_normalize(
+        jax.lax.associative_scan(lie.quat_multiply, e))
+    q_before = jnp.concatenate(
+        [lie.quat_identity(dtype)[None], q_after[:-1]], axis=0)
+
+    # velocity/position: elementwise + cumsum once rotations are known
+    un_acc = 0.5 * (lie.quat_rotate(q_before, a0)
+                    + lie.quat_rotate(q_after, a1))
+    dv_inc = un_acc * dt[:, None]
+    v_after = jnp.cumsum(dv_inc, axis=0)
+    v_before = v_after - dv_inc
+    dp_inc = v_before * dt[:, None] + 0.5 * un_acc * (dt * dt)[:, None]
+
+    # jacobian/covariance: affine pair scan over batched (F, G)
+    R0 = lie.quat_to_matrix(q_before)
+    R1 = lie.quat_to_matrix(q_after)
+    F, V = _step_matrices(R0, R1, un_gyr, a0, a1, dt)
+    qdiag = jnp.diagonal(_noise_matrix(noise, dtype))
+    G = (V * qdiag) @ jnp.swapaxes(V, -1, -2)
+
+    def comb(x, y):
+        A1, C1 = x
+        A2, C2 = y
+        A2T = jnp.swapaxes(A2, -1, -2)
+        return A2 @ A1, A2 @ C1 @ A2T + C2
+
+    A_pre, C_pre = jax.lax.associative_scan(comb, (F, G))
+    return Preintegration(
+        jnp.sum(dp_inc, axis=0), q_after[-1], v_after[-1],
+        A_pre[-1], C_pre[-1], jnp.sum(dt),
+        linearized_ba, linearized_bg)
+
+
+def preintegrate_sequential(acc, gyr, dt, linearized_ba, linearized_bg,
+                            noise: ImuNoise = ImuNoise(),
+                            valid_mask=None) -> Preintegration:
+    """Reference `lax.scan` implementation (one `midpoint_step` per
+    sample) — kept as the ground truth the associative-scan
+    `preintegrate` is tested against."""
     dtype = acc.dtype
     n_steps = dt.shape[0]
     if valid_mask is None:

@@ -128,3 +128,40 @@ def test_propagate_state_tracks_truth():
     p_true, q_true, v_true = sim.state_at(t_end)
     np.testing.assert_allclose(np.asarray(p), np.asarray(p_true), atol=5e-4)
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_true), atol=5e-4)
+
+
+def test_associative_matches_sequential_scan():
+    """The scan-free preintegrate must reproduce the per-step midpoint
+    recursion (deltas, 15x15 jacobian AND covariance), including masked
+    padding steps with garbage samples."""
+    seq = sim.generate_sequence(num_frames=3, imu_hz=200.0,
+                                acc_noise=0.1, gyr_noise=0.01)
+    acc, gyr, dt = _interval(seq, 0, 2, 20)
+    ba = jnp.asarray([0.02, -0.01, 0.03])
+    bg = jnp.asarray([0.003, 0.001, -0.002])
+
+    # padded buffer: 40 real steps + 24 masked garbage steps
+    C = 64
+    n = dt.shape[0]
+    accp = jnp.concatenate([acc, jnp.full((C - n, 3), jnp.nan)], 0)
+    gyrp = jnp.concatenate([gyr, jnp.full((C - n, 3), jnp.nan)], 0)
+    dtp = jnp.concatenate([dt, jnp.full((C - n,), 123.0)], 0)
+    mask = jnp.arange(C) < n
+
+    pa = pre.preintegrate(accp, gyrp, dtp, ba, bg, valid_mask=mask)
+    ps = pre.preintegrate_sequential(acc, gyr, dt, ba, bg)
+    np.testing.assert_allclose(np.asarray(pa.delta_p),
+                               np.asarray(ps.delta_p), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(pa.delta_q),
+                               np.asarray(ps.delta_q), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(pa.delta_v),
+                               np.asarray(ps.delta_v), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(pa.jacobian),
+                               np.asarray(ps.jacobian), rtol=1e-8,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(pa.covariance),
+                               np.asarray(ps.covariance), rtol=1e-6,
+                               atol=1e-14)
+    assert np.isfinite(np.asarray(pa.covariance)).all()
+    np.testing.assert_allclose(float(pa.sum_dt), float(ps.sum_dt),
+                               rtol=1e-12)
