@@ -138,6 +138,8 @@ class VioConfig:
             "min_dynamic_dist": ("min_dynamic_dist", int),
             "F_threshold": ("f_threshold", float),
             "max_num_iterations": ("max_solver_iterations", int),
+            "window_size": ("window_size", int),
+            "mot_n_init": ("mot_n_init", int),
             "pipelined": ("pipelined", lambda v: bool(int(v))),
             "devices": ("devices", int),
             "keyframe_parallax": ("keyframe_parallax", float),

