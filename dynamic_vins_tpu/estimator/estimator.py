@@ -1549,13 +1549,11 @@ class Estimator:
                               "alive": alive2}
         self._pres = pres4
         self.prior = prior_out
-        try:
-            outblob.copy_to_host_async()
-        except Exception:
-            pass
+        from dynamic_vins_tpu.utils.prefetch import AsyncFetch
+
         self._pipe_q.append(
-            (outblob, float(self.timestamps[k]), bool(is_keyframe),
-             self.timestamps.copy(),
+            (AsyncFetch(outblob), float(self.timestamps[k]),
+             bool(is_keyframe), self.timestamps.copy(),
              lmask.copy() if lmask is not None else None))
 
         # dynamic mode: per-object pipeline runs while the ego solve is
@@ -1582,7 +1580,7 @@ class Estimator:
         L = self.cfg.lm_capacity
         S = int(np.asarray(self.state.pack()).size)
         outblob, t_k, was_kf, ts_win, lmask_sent = self._pipe_q.popleft()
-        ob = np.array(outblob)
+        ob = outblob.get()
         flat3 = ob[:S]
         dep = ob[S:S + L]
         new_tri = ob[S + L:S + 2 * L] > 0.5

@@ -475,12 +475,10 @@ class InstanceManager:
         active = self.active & self.initialized & ~self.is_static
         put_i("active", active)
 
-        out = self._solve_packed(jnp.asarray(fblob),
-                                 jnp.asarray(iblob))
-        try:
-            out.copy_to_host_async()
-        except Exception:
-            pass
+        from dynamic_vins_tpu.utils.prefetch import AsyncFetch
+
+        out = AsyncFetch(self._solve_packed(jnp.asarray(fblob),
+                                            jnp.asarray(iblob)))
         # fmap[i] = CURRENT host window slot holding the solve's frame i
         # (-1 = dropped); updated by both slide flavours so an in-flight
         # solve lands in the right slots however the window moved
@@ -502,11 +500,7 @@ class InstanceManager:
         frame indices aligned)."""
         while self._pending:
             head = self._pending[0]
-            ready = True
-            try:
-                ready = bool(head["out"].is_ready())
-            except Exception:
-                pass
+            ready = head["out"].ready()
             if ready or len(self._pending) > max_inflight:
                 self._apply_pending(self._pending.popleft())
             else:
@@ -517,7 +511,7 @@ class InstanceManager:
         any mix of old / second-new window slides since dispatch)."""
         cfg = self.cfg
         O, F, Lo = cfg.max_objects, cfg.num_frames, cfg.lm_per_object
-        out = np.asarray(pend["out"])
+        out = pend["out"].get()
         sizes = [O * F * 3, O * F * 4, O * 3, O * 3, O * 3, O * 3,
                  O * Lo * 3, O]
         parts = np.split(out, np.cumsum(sizes)[:-1])

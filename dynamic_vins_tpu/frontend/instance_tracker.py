@@ -24,7 +24,7 @@ trips per frame).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +50,16 @@ class InstanceTrackerConfig:
     extra_max: int = 64
     cluster_radius: float = 1.5
     dtype: object = jnp.float32
+
+
+class InstTrackHandle(NamedTuple):
+    """In-flight instance-tracker frame (dispatched, not collected)."""
+
+    packed: object               # device array, async-copying to host
+    present: tuple               # tids tracked this frame
+    eroded: dict                 # tid -> eroded mask (host)
+    use_right: bool
+    use_extra: bool
 
 
 def _erode3_np(m: np.ndarray, iters: int) -> np.ndarray:
@@ -150,6 +160,19 @@ class InstanceTracker:
         Returns {track_id: dict(features={fid: (pt_l, pt_r|None)},
         extra_pts_world)} in the InstanceManager.push_frame format.
         """
+        return self.track_collect(self.track_begin(
+            img, masks, img_right=img_right, disparity=disparity,
+            ego_pose=ego_pose))
+
+    def track_begin(self, img, masks: Dict[int, np.ndarray],
+                    img_right=None, disparity=None, ego_pose=None):
+        """Host pre-work + ONE fused dispatch; the packed result copies
+        to host asynchronously. `track_collect` must run before the
+        next `track_begin` (host slot state feeds the next dispatch) —
+        the System's dynamic pipeline orders collect(k-1) before
+        begin(k), so the device round trip of frame k overlaps the
+        backend solve of frame k-1 (the reference gets the same overlap
+        from its FeatureTrack/ProcessMeasurements threads)."""
         cfg = self.cfg
         K, N, E = cfg.max_instances, cfg.max_dynamic_cnt, cfg.extra_max
 
@@ -173,7 +196,7 @@ class InstanceTracker:
             present.append(tid)
         if not present:
             self.prev_img = jnp.asarray(img, cfg.dtype)
-            return {}
+            return InstTrackHandle(None, (), {}, False, False)
 
         img_j = jnp.asarray(img, cfg.dtype)
         H, W = img.shape
@@ -229,14 +252,31 @@ class InstanceTracker:
         img_r = jnp.asarray(img_right, cfg.dtype) if use_right \
             else img_j
 
-        # ---- ONE fused dispatch + ONE packed fetch -------------------
-        out = np.asarray(self._fused[(use_right, use_extra)](
+        # ---- ONE fused dispatch (fetch happens in track_collect) -----
+        packed = self._fused[(use_right, use_extra)](
             prev, img_j, img_r,
             jnp.asarray(self.pts.reshape(-1, 2), cfg.dtype),
             jnp.asarray(valid_in), jnp.asarray(allow),
             jnp.asarray(ex_uv), jnp.asarray(ex_depth),
             jnp.asarray(ex_valid),
-            jnp.asarray(p_wc, cfg.dtype), jnp.asarray(q_wc, cfg.dtype)))
+            jnp.asarray(p_wc, cfg.dtype), jnp.asarray(q_wc, cfg.dtype))
+        from dynamic_vins_tpu.utils.prefetch import AsyncFetch
+
+        self.prev_img = img_j
+        return InstTrackHandle(AsyncFetch(packed), tuple(present),
+                               eroded, use_right, use_extra)
+
+    def track_collect(self, handle: "InstTrackHandle"):
+        """Fetch + unpack a dispatched frame; host per-instance slot
+        bookkeeping. Must run before the next `track_begin`."""
+        cfg = self.cfg
+        K, N, E = cfg.max_instances, cfg.max_dynamic_cnt, cfg.extra_max
+        if handle is None or handle.packed is None:
+            return {}
+        present = list(handle.present)
+        eroded = handle.eroded
+        use_extra = handle.use_extra
+        out = handle.packed.get()
 
         KN = K * N
         CAND = self._CAND
@@ -299,8 +339,6 @@ class InstanceTracker:
                 extra_world = pw[r][keep[r]]
             out_dict[tid] = dict(features=feats,
                                  extra_pts_world=extra_world)
-
-        self.prev_img = img_j
         return out_dict
 
     @staticmethod

@@ -58,7 +58,7 @@ class TrackHandle(NamedTuple):
     """In-flight frame: dispatched on device, not yet collected."""
 
     timestamp: float
-    packed: object                # device array, async-copying to host
+    packed: object                # AsyncFetch pulling the packed result
     use_right: bool
     killed: object                # host kill mask this dispatch consumed
 
@@ -223,10 +223,8 @@ class FeatureTracker:
                                             pts_dev, valid_dev,
                                             kill_dev, mask_dev)
             self._dev = (img2, pts2, valid2)
-            try:
-                packed.copy_to_host_async()
-            except Exception:
-                pass
+            from dynamic_vins_tpu.utils.prefetch import AsyncFetch
+            packed = AsyncFetch(packed)
         return TrackHandle(timestamp, packed, use_right, kill_np)
 
     def _st(self, name: str):
@@ -240,7 +238,7 @@ class FeatureTracker:
         N = cfg.max_cnt
         timestamp = handle.timestamp
         with self._st("fe.fetch"):
-            out = np.asarray(handle.packed)
+            out = handle.packed.get()
         _t_host0 = _time.perf_counter()
         pts_b, und, und_r, okf, newf, okrf = np.split(
             out, np.cumsum([2 * N, 2 * N, 2 * N, N, N]))

@@ -176,14 +176,13 @@ class System:
         self._tid_remap: Dict[int, int] = {}
         self._last_dets: Dict[int, dict] = {}
         # pipelined frontend (tunnel-aware): dispatch the fused tracker
-        # for frame k, collect frame k-1 — the tracker's device round
-        # trip overlaps the backend's in-flight solve. RAW/NAIVE only
-        # (the dynamic instance pipeline keeps its own overlap inside
-        # the estimator); the reference gets the same overlap from its
-        # FeatureTrack/ProcessMeasurements threads (main.cpp:394-404).
+        # (and, in DYNAMIC mode, the fused instance tracker) for frame
+        # k, collect frame k-1 — the trackers' device round trips
+        # overlap the backend's in-flight solve. The reference gets the
+        # same overlap from its FeatureTrack/ProcessMeasurements
+        # threads (main.cpp:394-404).
         self._fe_pending: List[tuple] = []
-        self._use_async_fe = bool(cfg.pipelined
-                                  and cfg.slam != SlamMode.DYNAMIC)
+        self._use_async_fe = bool(cfg.pipelined)
         # recent frames buffered for loop keyframing: the pipelined
         # estimator's output lags the input by up to 2 frames, so the
         # keyframe image must be the one whose timestamp matches the
@@ -213,14 +212,38 @@ class System:
                                        if fi.img_right is not None
                                        else None))
                         lines = self._lines_to_obs(segs, right)
-                self._fe_pending.append((h, fi, lines))
-                if len(self._fe_pending) <= 1:
-                    return None
-                h0, fi0, lines0 = self._fe_pending.pop(0)
+            prev = self._fe_pending.pop(0) if self._fe_pending else None
+            # instance pipeline: collect(k-1) BEFORE begin(k) — the
+            # tracker's host slot state feeds the next dispatch; the
+            # k-dispatch round trip overlaps the k-1 backend solve
+            h_inst = None
+            instances0 = None
+            if self.inst_tracker is not None:
+                with t.stage("instances"):
+                    if prev is not None and prev[3] is not None:
+                        instances0 = self._collect_instances(
+                            prev[3], prev[4])
+                    if masks_by_tid:
+                        ego = self._ego_estimate()
+                        h_inst = self.inst_tracker.track_begin(
+                            fi.img_left,
+                            {tid: m for tid, (m, _)
+                             in masks_by_tid.items()},
+                            img_right=fi.img_right,
+                            disparity=fi.disparity, ego_pose=ego)
+            self._fe_pending.append((h, fi, lines, h_inst,
+                                     masks_by_tid))
+            if prev is None:
+                return None
+            h0, fi0, lines0, _, masks0 = prev
+            with t.stage("frontend"):
                 feats = self.tracker.track_collect(h0)
                 if lines0 is not None:
                     feats = feats._replace(lines=lines0)
-            return self._finish_frame(fi0, feats, None)
+            # MOT rows for the lagged frame use ITS detections
+            self._last_dets = {tid: det for tid, (_, det)
+                               in masks0.items()}
+            return self._finish_frame(fi0, feats, instances0)
 
         # ---- perception: build masks / instances ----------------------
         with t.stage("perception"):
@@ -245,33 +268,44 @@ class System:
         instances = None
         if self.inst_tracker is not None and masks_by_tid:
             with t.stage("instances"):
-                ego = (self.estimator.state.p[self.estimator.frame_count
-                                              - 1],
-                       self.estimator.state.q[self.estimator.frame_count
-                                              - 1]) \
-                    if self.estimator.frame_count else (np.zeros(3),
-                                                        np.array([1.0, 0,
-                                                                  0, 0]))
-                tracked = self.inst_tracker.track(
+                h_inst = self.inst_tracker.track_begin(
                     fi.img_left, {tid: m for tid, (m, _) in
                                   masks_by_tid.items()},
                     img_right=fi.img_right, disparity=fi.disparity,
-                    ego_pose=ego)
-                instances = {}
-                for tid, data in tracked.items():
-                    mask, det = masks_by_tid[tid]
-                    data = dict(data)
-                    data["cls"] = det.get("cls", 0)
-                    data["features"] = {
-                        f: (pl, pr) for f, (pl, pr)
-                        in data["features"].items()}
-                    if det.get("dims_det") is not None:
-                        data["dims_det"] = det["dims_det"]
-                    if det.get("q_det") is not None:
-                        data["q_det"] = det["q_det"]
-                    instances[tid] = data
+                    ego_pose=self._ego_estimate())
+                instances = self._collect_instances(h_inst,
+                                                    masks_by_tid)
 
         return self._finish_frame(fi, feats, instances)
+
+    # ------------------------------------------------------------------
+    def _ego_estimate(self):
+        """Latest ego pose for the instance tracker's world transform
+        (lagged by the pipeline depth in async mode — the reference's
+        one-frame-lagged backend->frontend feedback)."""
+        fc = self.estimator.frame_count
+        if fc:
+            return (self.estimator.state.p[fc - 1],
+                    self.estimator.state.q[fc - 1])
+        return np.zeros(3), np.array([1.0, 0, 0, 0])
+
+    def _collect_instances(self, h_inst, masks_by_tid):
+        """Collect an in-flight instance dispatch and merge the frame's
+        detections (cls / dims_det / q_det) into the push_frame dicts."""
+        tracked = self.inst_tracker.track_collect(h_inst)
+        instances = {}
+        for tid, data in tracked.items():
+            _, det = masks_by_tid[tid]
+            data = dict(data)
+            data["cls"] = det.get("cls", 0)
+            data["features"] = {f: (pl, pr) for f, (pl, pr)
+                                in data["features"].items()}
+            if det.get("dims_det") is not None:
+                data["dims_det"] = det["dims_det"]
+            if det.get("q_det") is not None:
+                data["q_det"] = det["q_det"]
+            instances[tid] = data
+        return instances
 
     # ------------------------------------------------------------------
     def reset_timers(self):
@@ -559,17 +593,32 @@ class System:
                 self.frame_idx, tid, kitti_cls, bbox, hwl,
                 bottom, yaw, score=1.0)
 
-    def close(self):
-        # pipelined frontend: collect + finish the in-flight frame
+    def drain(self):
+        """Collect + finish every in-flight frame (pipelined frontend
+        AND pipelined estimator); returns their OdometryOut list. The
+        outputs are also written to the TUM/MOT files as usual."""
+        outs = []
         while self._fe_pending:
-            h0, fi0, lines0 = self._fe_pending.pop(0)
+            h0, fi0, lines0, h_inst0, masks0 = self._fe_pending.pop(0)
             feats = self.tracker.track_collect(h0)
             if lines0 is not None:
                 feats = feats._replace(lines=lines0)
-            self._finish_frame(fi0, feats, None)
-        # pipelined estimator: drain the in-flight frames first
+            instances0 = None
+            if self.inst_tracker is not None and h_inst0 is not None:
+                instances0 = self._collect_instances(h_inst0, masks0)
+                self._last_dets = {tid: det for tid, (_, det)
+                                   in masks0.items()}
+            out = self._finish_frame(fi0, feats, instances0)
+            if out is not None:
+                outs.append(out)
         for out in self.estimator.flush():
             self.tum_writer.write(out.timestamp, out.p, out.q)
+            outs.append(out)
+        return outs
+
+    def close(self):
+        # drain in-flight pipelined frames first
+        self.drain()
         self.tum_writer.close()
         if self.mot_writer:
             self.mot_writer.close()

@@ -64,8 +64,7 @@ def _drive(cfg, seq, frames, prefix, pipelined=False):
             seg=df.seg, boxes3d=df.boxes3d, disparity=df.disparity))
         if o is not None:
             outs.append(o)
-    for o in sysm.estimator.flush():
-        outs.append(o)
+    outs.extend(sysm.drain())
     inst = sysm.estimator.get_instance_states(sync=True)
     sysm.close()
     return sysm, outs, inst
