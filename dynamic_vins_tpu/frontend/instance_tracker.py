@@ -98,11 +98,16 @@ class InstanceTracker:
         crad = config.cluster_radius
         dt = config.dtype
 
-        def _fused(prev_img, img, img_r, pts, valid, allow_mask,
+        def _fused(prev_img, imgs, pts, valid, allow_mask,
                    ex_uv, ex_depth, ex_valid, p_wc, q_wc,
                    use_right, use_extra):
-            """pts [K*N,2], valid [K*N]; allow_mask [H,W] True inside
-            the merged eroded instance masks; ex_* [K,E,...]."""
+            """imgs [1|2,H,W] native dtype (shared upload with the
+            feature tracker — cast on device); pts [K*N,2], valid
+            [K*N]; allow_mask [H,W] True inside the merged eroded
+            instance masks; ex_* [K,E,...]. Returns (img_f32, packed):
+            the cast left image stays device-resident as prev_img."""
+            img = imgs[0].astype(dt)
+            img_r = imgs[1].astype(dt) if use_right else img
             p1, ok = tracker(prev_img, img, pts, valid)
             ok = ok & valid
             p1 = jnp.where(ok[:, None], p1, pts)
@@ -140,7 +145,7 @@ class InstanceTracker:
                 keep = jnp.zeros(ex_uv.shape[:2], bool)
 
             f = lambda a: a.astype(jnp.float32).ravel()
-            return jnp.concatenate([
+            return img, jnp.concatenate([
                 f(p1), f(und), f(und_r), f(ok), f(okr),
                 f(cpts), f(und_c), f(cfound), f(pw), f(keep)])
 
@@ -148,6 +153,7 @@ class InstanceTracker:
             (ur, ue): jax.jit(lambda *a, _ur=ur, _ue=ue:
                               _fused(*a, _ur, _ue))
             for ur in (False, True) for ue in (False, True)}
+        self._cast0 = jax.jit(lambda imgs: imgs[0].astype(dt))
 
     # ------------------------------------------------------------------
     def track(self, img, masks: Dict[int, np.ndarray],
@@ -165,7 +171,8 @@ class InstanceTracker:
             ego_pose=ego_pose))
 
     def track_begin(self, img, masks: Dict[int, np.ndarray],
-                    img_right=None, disparity=None, ego_pose=None):
+                    img_right=None, disparity=None, ego_pose=None,
+                    imgs_dev=None):
         """Host pre-work + ONE fused dispatch; the packed result copies
         to host asynchronously. `track_collect` must run before the
         next `track_begin` (host slot state feeds the next dispatch) —
@@ -194,11 +201,21 @@ class InstanceTracker:
                 self.valid[free] = False
                 self.ids[free] = -1
             present.append(tid)
+        # ONE shared [1|2,H,W] upload per frame (System passes the same
+        # stack the feature tracker consumed; a duplicate full-image
+        # H2D costs ~25 ms/frame through the ~30 MB/s tunnel)
+        if imgs_dev is None:
+            img_np = np.asarray(img)
+            if img_right is not None:
+                stack = np.stack([img_np,
+                                  np.asarray(img_right, img_np.dtype)])
+            else:
+                stack = img_np[None]
+            imgs_dev = jnp.asarray(stack)
         if not present:
-            self.prev_img = jnp.asarray(img, cfg.dtype)
+            self.prev_img = self._cast0(imgs_dev)
             return InstTrackHandle(None, (), {}, False, False)
 
-        img_j = jnp.asarray(img, cfg.dtype)
         H, W = img.shape
 
         # host: eroded masks + merged allow-mask + extra-point sampling
@@ -245,16 +262,15 @@ class InstanceTracker:
         else:
             p_wc, q_wc = np.zeros(3), np.array([1.0, 0, 0, 0])
 
-        use_right = img_right is not None
-        prev = self.prev_img if self.prev_img is not None else img_j
-        valid_in = self.valid.reshape(-1) \
-            if self.prev_img is not None else np.zeros(K * N, bool)
-        img_r = jnp.asarray(img_right, cfg.dtype) if use_right \
-            else img_j
+        use_right = int(imgs_dev.shape[0]) >= 2
+        first = self.prev_img is None
+        prev = self.prev_img if not first else self._cast0(imgs_dev)
+        valid_in = self.valid.reshape(-1) if not first \
+            else np.zeros(K * N, bool)
 
         # ---- ONE fused dispatch (fetch happens in track_collect) -----
-        packed = self._fused[(use_right, use_extra)](
-            prev, img_j, img_r,
+        img_res, packed = self._fused[(use_right, use_extra)](
+            prev, imgs_dev,
             jnp.asarray(self.pts.reshape(-1, 2), cfg.dtype),
             jnp.asarray(valid_in), jnp.asarray(allow),
             jnp.asarray(ex_uv), jnp.asarray(ex_depth),
@@ -262,7 +278,7 @@ class InstanceTracker:
             jnp.asarray(p_wc, cfg.dtype), jnp.asarray(q_wc, cfg.dtype))
         from dynamic_vins_tpu.utils.prefetch import AsyncFetch
 
-        self.prev_img = img_j
+        self.prev_img = img_res
         return InstTrackHandle(AsyncFetch(packed), tuple(present),
                                eroded, use_right, use_extra)
 

@@ -179,20 +179,30 @@ class FeatureTracker:
 
     # ------------------------------------------------------------------
     def track_begin(self, img, timestamp: float, mask=None,
-                    img_right=None, flow=None) -> TrackHandle:
+                    img_right=None, flow=None,
+                    imgs_dev=None) -> TrackHandle:
         """Upload + dispatch one frame; returns a handle whose results
         `track_collect` unpacks. Safe to call before collecting the
-        previous handle (the in-flight frames overlap on device)."""
+        previous handle (the in-flight frames overlap on device).
+
+        imgs_dev: optional pre-uploaded [1|2,H,W] device stack (native
+        dtype) — the System uploads ONE stack per frame and shares it
+        with the instance tracker (H2D rides the tunnel at ~30 MB/s;
+        a duplicate full-image upload costs ~25 ms/frame)."""
         cfg = self.cfg
-        use_right = bool(cfg.stereo and img_right is not None)
+        if imgs_dev is not None:
+            use_right = bool(cfg.stereo and imgs_dev.shape[0] >= 2)
+        else:
+            use_right = bool(cfg.stereo and img_right is not None)
         with self._st("fe.upload"):
-            img_np = np.asarray(img)
-            if use_right:
-                stack = np.stack([img_np, np.asarray(img_right,
-                                                     img_np.dtype)])
-            else:
-                stack = img_np[None]
-            imgs_dev = jnp.asarray(stack)
+            if imgs_dev is None:
+                img_np = np.asarray(img)
+                if use_right:
+                    stack = np.stack([img_np, np.asarray(img_right,
+                                                         img_np.dtype)])
+                else:
+                    stack = img_np[None]
+                imgs_dev = jnp.asarray(stack)
 
         if self._dev is None:
             prev = self._cast0(imgs_dev)

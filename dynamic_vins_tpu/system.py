@@ -198,10 +198,28 @@ class System:
             with t.stage("perception"):
                 self._run_perception_nets(fi)
                 masks_by_tid, background_mask = self._perception(fi)
+            # keep the tracker's jit variant stable in masked modes: a
+            # frame with no instances would flip use_mask and trigger a
+            # recompile/cache-load mid-sequence (~500 ms one-off)
+            if cfg.slam != SlamMode.RAW and background_mask is None:
+                background_mask = self._all_true_mask(fi.img_left.shape)
+            # ONE image upload per frame, shared by the feature tracker
+            # and (dynamic mode) the instance tracker — a duplicate
+            # full-image H2D costs ~25 ms through the ~30 MB/s tunnel
+            imgs_dev = None
+            if self.inst_tracker is not None:
+                img_np = np.asarray(fi.img_left)
+                if cfg.is_stereo and fi.img_right is not None:
+                    stack = np.stack([img_np, np.asarray(
+                        fi.img_right, img_np.dtype)])
+                else:
+                    stack = img_np[None]
+                imgs_dev = jnp.asarray(stack)
             with t.stage("frontend"):
                 h = self.tracker.track_begin(
                     fi.img_left, fi.timestamp, mask=background_mask,
-                    img_right=fi.img_right, flow=self.last_flow)
+                    img_right=fi.img_right, flow=self.last_flow,
+                    imgs_dev=imgs_dev)
                 lines = None
                 if self.line_tracker is not None:
                     with t.stage("fe.lsd"):
@@ -230,7 +248,8 @@ class System:
                             {tid: m for tid, (m, _)
                              in masks_by_tid.items()},
                             img_right=fi.img_right,
-                            disparity=fi.disparity, ego_pose=ego)
+                            disparity=fi.disparity, ego_pose=ego,
+                            imgs_dev=imgs_dev)
             self._fe_pending.append((h, fi, lines, h_inst,
                                      masks_by_tid))
             if prev is None:
@@ -277,6 +296,13 @@ class System:
                                                     masks_by_tid)
 
         return self._finish_frame(fi, feats, instances)
+
+    # ------------------------------------------------------------------
+    def _all_true_mask(self, shape):
+        if getattr(self, "_ones_mask", None) is None \
+                or self._ones_mask.shape != shape:
+            self._ones_mask = np.ones(shape, bool)
+        return self._ones_mask
 
     # ------------------------------------------------------------------
     def _ego_estimate(self):
@@ -513,16 +539,18 @@ class System:
 
     def _qdet_world(self, box3d):
         """Camera-frame detected orientation -> world, using the current
-        ego estimate."""
-        from dynamic_vins_tpu.geometry import lie
+        ego estimate. Host numpy math: per-frame eager jnp quaternion
+        ops each cost a dispatch (and a tunnel round trip on the
+        remote-attached chip — 30 ms/frame measured in this stage)."""
+        from dynamic_vins_tpu.geometry import lie_np
 
         st = self.estimator.state
         k = max(self.estimator.frame_count - 1, 0)
-        R_co = jnp.asarray(box3d.rotation_matrix())
-        q_co = lie.matrix_to_quat(R_co)
-        p_wc, q_wc = lie.pose_compose(st.p[k], st.q[k], st.p_bc[0],
-                                      st.q_bc[0])
-        return np.asarray(lie.quat_multiply(q_wc, q_co))
+        q_co = lie_np.matrix_to_quat(np.asarray(box3d.rotation_matrix()))
+        p_wc, q_wc = lie_np.pose_compose(
+            np.asarray(st.p[k], float), np.asarray(st.q[k], float),
+            np.asarray(st.p_bc[0], float), np.asarray(st.q_bc[0], float))
+        return lie_np.quat_multiply(q_wc, q_co)
 
     def _write_mot(self, fi: FrameInput):
         """One KITTI-tracking line per instance. The reference writes
@@ -531,13 +559,16 @@ class System:
         no detection this frame, the projected estimated 3D box stands
         in (the commented corner2d block at output.cpp:496-518)."""
         states = self.estimator.get_instance_states()
-        from dynamic_vins_tpu.geometry import lie
+        # host numpy lie math: eager jnp ops here cost one tunnel round
+        # trip EACH (205 ms/frame measured in the output stage)
+        from dynamic_vins_tpu.geometry import lie_np
 
         st = self.estimator.state
         k = max(self.estimator.frame_count - 1, 0)
-        p_wc, q_wc = lie.pose_compose(st.p[k], st.q[k], st.p_bc[0],
-                                      st.q_bc[0])
-        p_cw, q_cw = lie.pose_inverse(p_wc, q_wc)
+        p_wc, q_wc = lie_np.pose_compose(
+            np.asarray(st.p[k], float), np.asarray(st.q[k], float),
+            np.asarray(st.p_bc[0], float), np.asarray(st.q_bc[0], float))
+        p_cw, q_cw = lie_np.pose_inverse(p_wc, q_wc)
         H, W = fi.img_left.shape
 
         for tid in sorted(set(states) | set(self._last_dets)):
@@ -547,11 +578,12 @@ class System:
             kitti_cls = perception.COCO_TO_KITTI.get(cls_coco, "Car")
 
             if s is not None:
-                p_cam = np.asarray(lie.pose_transform_point(
-                    p_cw, q_cw, jnp.asarray(s["p"])))
+                p_cam = lie_np.pose_transform_point(
+                    p_cw, q_cw, np.asarray(s["p"], float))
                 # camera-frame yaw of the object (about -y)
-                q_obj_cam = lie.quat_multiply(q_cw, jnp.asarray(s["q"]))
-                R_co = np.asarray(lie.quat_to_matrix(q_obj_cam))
+                q_obj_cam = lie_np.quat_multiply(
+                    q_cw, np.asarray(s["q"], float))
+                R_co = lie_np.quat_to_matrix(q_obj_cam)
                 yaw = float(np.arctan2(-R_co[2, 0], R_co[0, 0]))
                 dims = np.asarray(s["dims"], float)
                 bottom = p_cam.copy()

@@ -18,6 +18,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache (VERDICT r4 #8: the slow e2e files spend
+# minutes re-compiling the same megastep graphs on this 2-core box;
+# the cache cuts warm-run compile time to near zero). Keyed on backend
+# + jaxlib version + HLO, so CPU test entries coexist with the TPU
+# bench entries in the same directory.
+import dynamic_vins_tpu  # noqa: E402
+
+dynamic_vins_tpu.enable_compile_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
