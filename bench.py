@@ -391,9 +391,13 @@ def main():
             static_argnums=2)
         imgs = []
         for k in range(26):
+            # uint8 like a real camera (4x cheaper tunnel H2D: the f32
+            # stereo pair alone was ~20 ms/frame of channel time)
             imgs.append((
-                np.asarray(render_j(seqS.gt_p[k], seqS.gt_q[k], 0)),
-                np.asarray(render_j(seqS.gt_p[k], seqS.gt_q[k], 1))))
+                np.asarray(render_j(seqS.gt_p[k], seqS.gt_q[k],
+                                    0)).astype(np.uint8),
+                np.asarray(render_j(seqS.gt_p[k], seqS.gt_q[k],
+                                    1)).astype(np.uint8)))
 
         cfgS = VioConfig()
         cfgS.window_size = 10

@@ -712,14 +712,21 @@ class Estimator:
         from dynamic_vins_tpu.estimator.feature_manager import (
             DEFAULT_DEPTH)
 
+        # The obs TABLES are device residents (pt/vel/right pools +
+        # validity [L,F]); the host ships only the NEW frame's column
+        # (obs_new [L,8] + 3 masks) and the per-slot emission gate —
+        # of/oi/ov are built ON DEVICE each frame. This cuts the
+        # per-frame upload from ~520 KB to ~70 KB; through the ~30 MB/s
+        # tunnel the old full-table upload alone was ~17 ms/frame.
         fsec_p = [("acc", 3 * (C + 1)), ("gyr", 3 * (C + 1)), ("dts", C),
                   ("acc_m", 3 * (C + 1)), ("gyr_m", 3 * (C + 1)),
-                  ("dts_m", C), ("tri_f", 6 * L), ("of", 9 * Co),
+                  ("dts_m", C), ("tri_f", 6 * L), ("obs_new", 8 * L),
                   ("pt0", 3 * L), ("pt_a", 2 * L), ("pt_c", 2 * L)]
-        isec_p = [("oi", 4 * Co), ("anchors", L), ("stereo", L),
+        isec_p = [("anchors", L), ("stereo", L),
                   ("two", L), ("tri_req", L), ("obs_ok", L),
                   ("cur_ok", L), ("hasobs1", L), ("reset", L),
-                  ("kill", L), ("ov", Co), ("imu_n", E), ("n_e", 1),
+                  ("kill", L), ("ho_k", L), ("hr_k", L), ("emit", L),
+                  ("imu_n", E), ("n_e", 1),
                   ("n_m", 1), ("is_kf", 1)]
         # LinePoint mode: line obs + lifecycle deltas ride the blobs;
         # the line orth table and line-alive mask are device residents
@@ -746,7 +753,8 @@ class Estimator:
 
         @precise_jit
         def megastep_pipelined(fblob, iblob, flat, inv_depth, dv, alive,
-                               pres, prior, l_orth=None, l_alive=None):
+                               pres, prior, obs_res,
+                               l_orth=None, l_alive=None):
             fs = lambda n: fblob[pfo[n][0]:pfo[n][1]]
             is_ = lambda n: iblob[pio[n][0]:pio[n][1]]
             b = lambda n: is_(n).astype(bool)
@@ -755,11 +763,9 @@ class Estimator:
             dts = fs("dts")
             mask_new = jnp.arange(C) < is_("n_e")[0]
             tri_f = fs("tri_f").reshape(L, 6)
-            of = fs("of").reshape(Co, 9)
             pt0 = fs("pt0").reshape(L, 3)
             pt_a = fs("pt_a").reshape(L, 2)
             pt_c = fs("pt_c").reshape(L, 2)
-            oi = is_("oi").reshape(Co, 4)
             anchors = is_("anchors")
             imu_n = is_("imu_n")
             imu_valid = (imu_n > 0) & use_imu_static \
@@ -768,6 +774,45 @@ class Estimator:
             reset, kill = b("reset"), b("kill")
             obs_ok, cur_ok, hasobs1 = b("obs_ok"), b("cur_ok"), \
                 b("hasobs1")
+
+            # ---- device-resident obs pools: apply lifecycle + the new
+            # frame's column, then emit oi/of/ov rows on device in the
+            # host's exact order (slot-major, frame, left-then-right —
+            # feature_manager.build_obs_packed's lexsort)
+            pt_r, vel_r, ptr_r, velr_r, ho_r, hr_r = obs_res
+            clear = (kill | reset)[:, None]
+            ho_r = ho_r & ~clear
+            hr_r = hr_r & ~clear
+            obs_new = fs("obs_new").reshape(L, 8)
+            ho_r = ho_r.at[:, F - 1].set(b("ho_k"))
+            hr_r = hr_r.at[:, F - 1].set(b("hr_k"))
+            pt_r = pt_r.at[:, F - 1].set(obs_new[:, 0:2])
+            vel_r = vel_r.at[:, F - 1].set(obs_new[:, 2:4])
+            ptr_r = ptr_r.at[:, F - 1].set(obs_new[:, 4:6])
+            velr_r = velr_r.at[:, F - 1].set(obs_new[:, 6:8])
+
+            emit = b("emit")
+            ff = jnp.arange(F)[None, :]
+            a_col = anchors[:, None]
+            sel_l = emit[:, None] & ho_r & (ff > a_col)
+            sel_r = emit[:, None] & hr_r & (ff >= a_col)
+            dense = jnp.stack([sel_l, sel_r], axis=-1).reshape(-1)
+            idx = jnp.nonzero(dense, size=Co, fill_value=0)[0]
+            ov_dev = jnp.arange(Co) < jnp.sum(dense)
+            s_i = idx // (F * 2)
+            f_i = (idx // 2) % F
+            c_i = (idx % 2).astype(jnp.int32)
+            a_i = anchors[s_i]
+            oi = jnp.stack([a_i, f_i.astype(jnp.int32), c_i,
+                            s_i.astype(jnp.int32)], axis=1)
+            a_cl = jnp.clip(a_i, 0, F - 1)
+            left = (c_i == 0)[:, None]
+            of = jnp.concatenate(
+                [pt_r[s_i, a_cl],
+                 jnp.where(left, pt_r[s_i, f_i], ptr_r[s_i, f_i]),
+                 vel_r[s_i, a_cl],
+                 jnp.where(left, vel_r[s_i, f_i], velr_r[s_i, f_i]),
+                 jnp.zeros((Co, 1), pt_r.dtype)], axis=1)
 
             # host lifecycle deltas -> resident masks. A slot can be
             # slide-killed and immediately reallocated in one frame:
@@ -805,7 +850,7 @@ class Estimator:
                              inv_depth)
             dv2 = dv | new_tri
             lm_valid = alive & dv2 & obs_ok
-            ov2 = b("ov") & lm_valid[oi[:, 3]]
+            ov2 = ov_dev & lm_valid[oi[:, 3]]
 
             if use_line_static:
                 # line lifecycle deltas -> resident orth/alive; a slot
@@ -883,6 +928,20 @@ class Estimator:
 
             flat4, inv4, dv4, prior_out, pres4 = jax.lax.cond(
                 is_kf, kf_branch, nkf_branch, operand=None)
+
+            # slide the resident obs pools the same way the branches
+            # slid the state (kf: drop frame 0; nkf: drop frame F-2)
+            def slide_tbl(tbl):
+                zero = tbl[:, -1:] * 0 if tbl.dtype != jnp.bool_ \
+                    else tbl[:, -1:] & False
+                kf_v = jnp.concatenate([tbl[:, 1:], zero], axis=1)
+                nk = tbl.at[:, F - 2].set(tbl[:, F - 1])
+                nkf_v = jnp.concatenate([nk[:, :F - 1], zero], axis=1)
+                return jnp.where(
+                    is_kf.reshape((1,) * tbl.ndim), kf_v, nkf_v)
+
+            obs_res2 = tuple(slide_tbl(t) for t in
+                             (pt_r, vel_r, ptr_r, velr_r, ho_r, hr_r))
             parts = [flat3, dep, new_tri.astype(flat3.dtype),
                      bad.astype(flat3.dtype), cost[None], inv4,
                      dv4.astype(flat3.dtype)]
@@ -893,8 +952,9 @@ class Estimator:
             out = jnp.concatenate(parts)
             if use_line_static:
                 return (flat4, inv4, dv4, alive2, pres4, prior_out,
-                        l_orth2, l_alive2, out)
-            return flat4, inv4, dv4, alive2, pres4, prior_out, out
+                        obs_res2, l_orth2, l_alive2, out)
+            return (flat4, inv4, dv4, alive2, pres4, prior_out,
+                    obs_res2, out)
 
         self._megastep_pipelined = megastep_pipelined
 
@@ -1347,6 +1407,15 @@ class Estimator:
             "inv": jnp.array(fm.inv_depth),
             "dv": jnp.asarray(fm.depth_valid.copy()),
             "alive": jnp.asarray(fm.active.copy()),
+            # device-resident obs pools (left/right points, velocities,
+            # validity) — mode entry pushes the host pool once; after
+            # that only the new frame's column rides each dispatch
+            "obs": (jnp.array(fm.pt[:, :, :2]),
+                    jnp.array(fm.vel[:, :, :2]),
+                    jnp.array(fm.pt_right[:, :, :2]),
+                    jnp.array(fm.vel_right[:, :, :2]),
+                    jnp.asarray(fm.has_obs.copy()),
+                    jnp.asarray(fm.has_right.copy())),
         }
         if self.lines is not None:
             lmask = (self.lines.active & self.lines.orth_valid).copy()
@@ -1446,7 +1515,12 @@ class Estimator:
         for h in self._pipe_tri_hist:
             extra |= h
         self._pipe_tri_hist.append(tri_req.copy())
-        oi, of, ov, _ = fm.build_obs_packed(extra_mask=extra)
+        # rows are emitted ON DEVICE from the resident obs pools; the
+        # host ships only the emission gate + the new frame's column
+        emit = fm.obs_emit_mask(extra_mask=extra)
+        obs_new = np.concatenate(
+            [fm.pt[:, k, :2], fm.vel[:, k, :2],
+             fm.pt_right[:, k, :2], fm.vel_right[:, k, :2]], axis=1)
         pt0 = np.array(fm.pt[:, 0])
         pt_a = fm.pt[np.arange(L), np.minimum(anchors, F - 1), :2]
         pt_c = fm.pt[:, k, :2]
@@ -1503,11 +1577,10 @@ class Estimator:
         put_f("gyr_m", gyr_m)
         put_f("dts_m", dts_m)
         put_f("tri_f", tri_f)
-        put_f("of", of)
+        put_f("obs_new", obs_new)
         put_f("pt0", pt0)
         put_f("pt_a", pt_a)
         put_f("pt_c", pt_c)
-        put_i("oi", oi)
         put_i("anchors", anchors)
         put_i("stereo", stereo_ok)
         put_i("two", two_ok)
@@ -1517,7 +1590,9 @@ class Estimator:
         put_i("hasobs1", hasobs1)
         put_i("reset", new_slots)
         put_i("kill", kill)
-        put_i("ov", ov)
+        put_i("ho_k", fm.has_obs[:, k])
+        put_i("hr_k", fm.has_right[:, k])
+        put_i("emit", emit)
         put_i("imu_n", self.imu_n)
         put_i("n_e", self.imu_n[e])
         put_i("n_m", n_m)
@@ -1532,21 +1607,23 @@ class Estimator:
 
         r = self._pipe_res
         if self.lines is not None:
-            (flat4, inv4, dv4, alive2, pres4, prior_out, l_orth4,
+            (flat4, inv4, dv4, alive2, pres4, prior_out, obs4, l_orth4,
              l_alive4, outblob) = self._megastep_pipelined(
                 jnp.asarray(fblob), jnp.asarray(iblob), r["flat"],
                 r["inv"], r["dv"], r["alive"], self._pres, self.prior,
-                r["l_orth"], r["l_alive"])
+                r["obs"], r["l_orth"], r["l_alive"])
             self._pipe_res = {"flat": flat4, "inv": inv4, "dv": dv4,
-                              "alive": alive2, "l_orth": l_orth4,
+                              "alive": alive2, "obs": obs4,
+                              "l_orth": l_orth4,
                               "l_alive": l_alive4}
         else:
-            (flat4, inv4, dv4, alive2, pres4, prior_out,
+            (flat4, inv4, dv4, alive2, pres4, prior_out, obs4,
              outblob) = self._megastep_pipelined(
                 jnp.asarray(fblob), jnp.asarray(iblob), r["flat"],
-                r["inv"], r["dv"], r["alive"], self._pres, self.prior)
+                r["inv"], r["dv"], r["alive"], self._pres, self.prior,
+                r["obs"])
             self._pipe_res = {"flat": flat4, "inv": inv4, "dv": dv4,
-                              "alive": alive2}
+                              "alive": alive2, "obs": obs4}
         self._pres = pres4
         self.prior = prior_out
         from dynamic_vins_tpu.utils.prefetch import AsyncFetch

@@ -238,6 +238,19 @@ class FeatureManager:
         valid[sl] = True
         return oi, of, valid, mask
 
+    def obs_emit_mask(self, extra_mask=None):
+        """Per-slot gate for device-side obs-row emission: the same
+        slot set `build_obs_packed` would emit rows for (solvable |
+        extra, with a valid anchor observation), shipped as one [L]
+        mask instead of the full row tables (the pipelined megastep
+        builds oi/of/ov on device from its resident pools)."""
+        mask = self.solvable_mask()
+        m = mask if extra_mask is None else (mask | extra_mask)
+        L = self.pt.shape[0]
+        A = np.minimum(self.start_frame, self.num_frames - 1)
+        anchored = self.has_obs[np.arange(L), A]
+        return m & anchored
+
     def anchored_at_mask(self, frame: int):
         return jnp.asarray(self.active & (self.start_frame == frame)
                            & self.depth_valid)

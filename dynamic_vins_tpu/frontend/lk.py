@@ -60,16 +60,19 @@ def track(pyr0: Sequence[jnp.ndarray], pyr1: Sequence[jnp.ndarray],
           radius: int = 10, iters: int = 10,
           fb_thresh: float = 0.5, border: int = 3,
           init_guess: jnp.ndarray | None = None,
-          level_fn=None):
+          level_fn=None, fb_levels: int | None = None):
     """Track pts from pyramid0 to pyramid1 with fwd-bwd check.
 
     pts: [N,2] pixel coords at full resolution; valid: [N] bool.
+    fb_levels: pyramid levels used for the backward consistency pass
+    (default: all). fb_levels=1 seeds the level-0 backward track with
+    the NEGATED forward flow (OpenCV's OPTFLOW_USE_INITIAL_FLOW
+    reverse-check pattern) — same gate semantics, 4x fewer backward
+    level kernels; on TPU the per-level Pallas call is the frontend's
+    dominant device cost.
     Returns (pts1 [N,2], ok [N]).
     """
     levels = len(pyr0)
-    scale = 2.0 ** (levels - 1)
-    guess = (jnp.zeros_like(pts) if init_guess is None
-             else init_guess / scale * 0.0)
     if level_fn is None:
         level_fn = lambda a, b, p, g: _lk_level(a, b, p, g, radius,
                                                 iters)
@@ -85,10 +88,13 @@ def track(pyr0: Sequence[jnp.ndarray], pyr1: Sequence[jnp.ndarray],
     pts1 = pts + g * 1.0  # g is at level-0 scale after the loop
 
     # backward pass for consistency
-    gb = jnp.zeros_like(pts)
-    for lvl in range(levels - 1, -1, -1):
+    n_fb = levels if fb_levels is None else max(1, min(fb_levels,
+                                                       levels))
+    gb = -g / (2.0 ** (n_fb - 1)) if n_fb < levels \
+        else jnp.zeros_like(pts)
+    for lvl in range(n_fb - 1, -1, -1):
         s = 2.0 ** lvl
-        gb = gb * 2.0 if lvl < levels - 1 else gb
+        gb = gb * 2.0 if lvl < n_fb - 1 else gb
         gbi, okb = level_fn(pyr1[lvl], pyr0[lvl], pts1 / s, gb)
         gb = jnp.where(okb[:, None], gbi, gb)
         ok = ok & okb
@@ -105,13 +111,16 @@ def track(pyr0: Sequence[jnp.ndarray], pyr1: Sequence[jnp.ndarray],
 
 def make_tracker(levels: int = 4, radius: int = 10, iters: int = 10,
                  fb_thresh: float = 0.5, border: int = 3,
-                 backend: str = "auto"):
+                 backend: str = "auto", fb_levels: int | None = None):
     """Jit-friendly closure: (img0, img1, pts, valid) -> (pts1, ok).
 
     Pyramids are built inside so the whole per-frame track is one jit.
     backend: "xla" (gather-based), "pallas" (windowed TPU kernel,
     ops/lk_pallas.py — ~900x faster per level on TPU), or "auto"
-    (pallas on TPU, xla elsewhere)."""
+    (pallas on TPU, xla elsewhere). On the pallas backend fb_levels
+    defaults to 1 (seeded level-0 backward check — the per-level
+    kernel launch is the frontend's dominant device cost there);
+    on xla/cpu it defaults to all levels (reference-exact)."""
     if backend == "auto":
         try:
             platform = jax.devices()[0].platform
@@ -122,12 +131,14 @@ def make_tracker(levels: int = 4, radius: int = 10, iters: int = 10,
     if backend == "pallas":
         from dynamic_vins_tpu.ops import lk_pallas
 
+        fbl = 1 if fb_levels is None else fb_levels
+
         def run(img0, img1, pts, valid):
             p0 = pyr.build_pyramid(img0, levels)
             p1 = pyr.build_pyramid(img1, levels)
             return track(p0, p1, pts, valid, radius=radius,
                          iters=iters, fb_thresh=fb_thresh,
-                         border=border,
+                         border=border, fb_levels=fbl,
                          level_fn=lambda a, b, p, g: lk_pallas.lk_level(
                              a, b, p, g, radius=radius, iters=iters))
 
@@ -137,7 +148,8 @@ def make_tracker(levels: int = 4, radius: int = 10, iters: int = 10,
         p0 = pyr.build_pyramid(img0, levels)
         p1 = pyr.build_pyramid(img1, levels)
         return track(p0, p1, pts, valid, radius=radius, iters=iters,
-                     fb_thresh=fb_thresh, border=border)
+                     fb_thresh=fb_thresh, border=border,
+                     fb_levels=fb_levels)
 
     return jax.jit(run)
 

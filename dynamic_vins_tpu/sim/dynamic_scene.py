@@ -133,8 +133,11 @@ def make_dynamic_scene(seq: SyntheticSequence, num_objects: int = 2,
         pts_w = jnp.concatenate(
             [seq.landmarks] + [jnp.asarray(p) for p in obj_pts_w])
         assert pts_w.shape[0] == n_all
-        img_l = np.asarray(render_j(seq.gt_p[k], seq.gt_q[k], pts_w, 0))
-        img_r = np.asarray(render_j(seq.gt_p[k], seq.gt_q[k], pts_w, 1))
+        # uint8 like a real camera (and 4x cheaper on the tunnel H2D)
+        img_l = np.asarray(render_j(seq.gt_p[k], seq.gt_q[k], pts_w,
+                                    0)).astype(np.uint8)
+        img_r = np.asarray(render_j(seq.gt_p[k], seq.gt_q[k], pts_w,
+                                    1)).astype(np.uint8)
 
         # masks + boxes + disparity from the exact geometry (left cam)
         p_cw, q_cw = _cam_pose(seq, k, 0)

@@ -102,8 +102,17 @@ class System:
                     "the first jax use)")
             self.mesh = Mesh(np.array(devs[:cfg.devices]), ("lm",))
 
+        # obs capacity sized to the config (reference relationship:
+        # kMaxCnt x window x stereo; the solver's device time scales
+        # with the STATIC capacity — 13.5 ms/10iter at 4096 rows vs
+        # 27 ms at 8192 measured — so a fixed 8192 wastes half the
+        # solve for max_cnt=150)
+        obs_cap = 1024
+        while obs_cap < cfg.max_cnt * cfg.num_frames * 2:
+            obs_cap *= 2
         self.estimator = Estimator(
             EstimatorConfig(num_frames=cfg.num_frames,
+                            obs_capacity=obs_cap,
                             stereo=cfg.is_stereo, use_imu=cfg.use_imu,
                             pipelined=cfg.pipelined,
                             max_iters=cfg.max_solver_iterations,
@@ -181,8 +190,11 @@ class System:
         # overlap the backend's in-flight solve. The reference gets the
         # same overlap from its FeatureTrack/ProcessMeasurements
         # threads (main.cpp:394-404).
-        self._fe_pending: List[tuple] = []
+        self._fe_pending: List[dict] = []
         self._use_async_fe = bool(cfg.pipelined)
+        # frontend frames in flight (see process(); the instance
+        # tracker always runs at lag 1 inside this window)
+        self._fe_lag = 2
         # recent frames buffered for loop keyframing: the pipelined
         # estimator's output lags the input by up to 2 frames, so the
         # keyframe image must be the one whose timestamp matches the
@@ -230,17 +242,19 @@ class System:
                                        if fi.img_right is not None
                                        else None))
                         lines = self._lines_to_obs(segs, right)
-            prev = self._fe_pending.pop(0) if self._fe_pending else None
             # instance pipeline: collect(k-1) BEFORE begin(k) — the
-            # tracker's host slot state feeds the next dispatch; the
-            # k-dispatch round trip overlaps the k-1 backend solve
+            # instance tracker's host slot state feeds its next
+            # dispatch, so it runs at lag 1 regardless of the frontend
+            # depth; the collected dicts are buffered on the entry
             h_inst = None
-            instances0 = None
             if self.inst_tracker is not None:
                 with t.stage("instances"):
-                    if prev is not None and prev[3] is not None:
-                        instances0 = self._collect_instances(
-                            prev[3], prev[4])
+                    if self._fe_pending:
+                        last = self._fe_pending[-1]
+                        if last["h_inst"] is not None:
+                            last["instances"] = self._collect_instances(
+                                last["h_inst"], last["masks"])
+                            last["h_inst"] = None
                     if masks_by_tid:
                         ego = self._ego_estimate()
                         h_inst = self.inst_tracker.track_begin(
@@ -250,19 +264,18 @@ class System:
                             img_right=fi.img_right,
                             disparity=fi.disparity, ego_pose=ego,
                             imgs_dev=imgs_dev)
-            self._fe_pending.append((h, fi, lines, h_inst,
-                                     masks_by_tid))
-            if prev is None:
+            self._fe_pending.append(dict(
+                h=h, fi=fi, lines=lines, h_inst=h_inst,
+                masks=masks_by_tid, instances=None))
+            # frontend depth 2: a handle's dispatch->device->fetch
+            # round trip through the tunnel is ~1.5 frames; at depth 1
+            # every collect still waits ~a round trip (measured
+            # fe.fetch 29 ms), at depth 2 the result has landed
+            if len(self._fe_pending) <= self._fe_lag:
                 return None
-            h0, fi0, lines0, _, masks0 = prev
-            with t.stage("frontend"):
-                feats = self.tracker.track_collect(h0)
-                if lines0 is not None:
-                    feats = feats._replace(lines=lines0)
-            # MOT rows for the lagged frame use ITS detections
-            self._last_dets = {tid: det for tid, (_, det)
-                               in masks0.items()}
-            return self._finish_frame(fi0, feats, instances0)
+            return self._finish_oldest_pending()
+
+        # ---- perception: build masks / instances ----------------------
 
         # ---- perception: build masks / instances ----------------------
         with t.stage("perception"):
@@ -625,22 +638,31 @@ class System:
                 self.frame_idx, tid, kitti_cls, bbox, hwl,
                 bottom, yaw, score=1.0)
 
+    def _finish_oldest_pending(self):
+        """Collect + finish the oldest in-flight frontend frame."""
+        e = self._fe_pending.pop(0)
+        if self.inst_tracker is not None and e["h_inst"] is not None:
+            # in-order instance collect (normally done at lag 1 in
+            # process(); this path covers drains)
+            e["instances"] = self._collect_instances(e["h_inst"],
+                                                     e["masks"])
+            e["h_inst"] = None
+        with self.timer.stage("frontend"):
+            feats = self.tracker.track_collect(e["h"])
+            if e["lines"] is not None:
+                feats = feats._replace(lines=e["lines"])
+        # MOT rows for the lagged frame use ITS detections
+        self._last_dets = {tid: det for tid, (_, det)
+                           in e["masks"].items()}
+        return self._finish_frame(e["fi"], feats, e["instances"])
+
     def drain(self):
         """Collect + finish every in-flight frame (pipelined frontend
         AND pipelined estimator); returns their OdometryOut list. The
         outputs are also written to the TUM/MOT files as usual."""
         outs = []
         while self._fe_pending:
-            h0, fi0, lines0, h_inst0, masks0 = self._fe_pending.pop(0)
-            feats = self.tracker.track_collect(h0)
-            if lines0 is not None:
-                feats = feats._replace(lines=lines0)
-            instances0 = None
-            if self.inst_tracker is not None and h_inst0 is not None:
-                instances0 = self._collect_instances(h_inst0, masks0)
-                self._last_dets = {tid: det for tid, (_, det)
-                                   in masks0.items()}
-            out = self._finish_frame(fi0, feats, instances0)
+            out = self._finish_oldest_pending()
             if out is not None:
                 outs.append(out)
         for out in self.estimator.flush():

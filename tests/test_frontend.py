@@ -146,3 +146,39 @@ def test_track_by_dense_flow():
     _, ok2 = lk.track_by_dense_flow(jnp.asarray(flow), pts, valid,
                                     jnp.asarray(bad))
     assert not bool(ok2[0])
+
+
+def test_lk_fb_levels1_matches_full_backward():
+    """Seeded level-0 backward check (fb_levels=1, the TPU/pallas
+    default — 4x fewer backward level kernels) keeps the same inliers
+    and flows as the full-pyramid backward pass on good matches, and
+    still rejects occluded features."""
+    img0 = _texture(H=320, W=480, seed=3, smooth=1)
+    img1 = _shift_image(img0, 25.0, 13.0)
+    pts_all, _, found = corners.detect(img0, max_corners=64,
+                                       min_dist=16, border=40)
+    pts = np.asarray(pts_all)[np.asarray(found)].astype(np.float32)
+    N = len(pts)
+    tr_full = lk.make_tracker(levels=5, radius=10, iters=15,
+                              fb_thresh=1.0)
+    tr_fb1 = lk.make_tracker(levels=5, radius=10, iters=15,
+                             fb_thresh=1.0, fb_levels=1)
+    p_full, ok_full = tr_full(img0, img1, jnp.asarray(pts),
+                              jnp.ones(N, bool))
+    p_fb1, ok_fb1 = tr_fb1(img0, img1, jnp.asarray(pts),
+                           jnp.ones(N, bool))
+    ok_full, ok_fb1 = np.asarray(ok_full), np.asarray(ok_fb1)
+    both = ok_full & ok_fb1
+    assert both.sum() >= 0.9 * max(ok_full.sum(), 1)
+    np.testing.assert_allclose(np.asarray(p_fb1)[both],
+                               np.asarray(p_full)[both], atol=0.05)
+
+    # occlusion still rejected: blank a region in img1
+    img1_occ = np.asarray(img1).copy()
+    img1_occ[100:220, 150:330] = 0.0
+    _, ok_occ = tr_fb1(img0, jnp.asarray(img1_occ), jnp.asarray(pts),
+                       jnp.ones(N, bool))
+    occluded = (pts[:, 0] > 150 + 40) & (pts[:, 0] < 330 - 40) \
+        & (pts[:, 1] > 100 + 40) & (pts[:, 1] < 220 - 40)
+    if occluded.sum():
+        assert (~np.asarray(ok_occ)[occluded]).mean() >= 0.5
