@@ -491,13 +491,16 @@ class InstanceManager:
         while self._pending:
             self._apply_pending(self._pending.popleft())
 
-    def _drain_ready(self, max_inflight: int = 1):
+    def _drain_ready(self, max_inflight: int = 2):
         """Materialize finished solves without blocking; block only to
         bound the queue depth. On a remote-attached chip a blocking
-        fetch costs a tunnel round trip per frame — letting ONE solve
-        stay in flight across the frame boundary hides it (the same
-        bounded-lag scheme as the ego pipeline; the slide counter keeps
-        frame indices aligned)."""
+        fetch costs a tunnel round trip per frame — letting solves
+        stay in flight across frame boundaries hides it (the same
+        bounded-lag scheme as the ego pipeline; the frame-map on each
+        pending entry keeps indices aligned however the window slid).
+        Depth 2 matches the ~1.5-frame dispatch->fetch latency of the
+        tunnel; the prefetch thread usually lands results before the
+        bound ever blocks."""
         while self._pending:
             head = self._pending[0]
             ready = head["out"].ready()

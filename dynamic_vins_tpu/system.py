@@ -242,10 +242,23 @@ class System:
                                        if fi.img_right is not None
                                        else None))
                         lines = self._lines_to_obs(segs, right)
+            # finish the oldest in-flight frame FIRST (its instance
+            # results were collected last frame): the backend dispatch
+            # then overlaps this frame's instance collect below.
+            # Frontend depth 2: a handle's dispatch->device->fetch
+            # round trip through the tunnel is ~1.5 frames; at depth 1
+            # every collect still waits ~a round trip (measured
+            # fe.fetch 29 ms), at depth 2 the result has landed.
+            out = None
+            if len(self._fe_pending) > self._fe_lag - 1:
+                out = self._finish_oldest_pending()
             # instance pipeline: collect(k-1) BEFORE begin(k) — the
             # instance tracker's host slot state feeds its next
             # dispatch, so it runs at lag 1 regardless of the frontend
-            # depth; the collected dicts are buffered on the entry
+            # depth; the collected dicts are buffered on the entry.
+            # Running this AFTER the backend dispatch gives the k-1
+            # handle a full frame in flight (it was ~0.7 frames old
+            # when collected up front — a ~14 ms residual wait).
             h_inst = None
             if self.inst_tracker is not None:
                 with t.stage("instances"):
@@ -267,13 +280,7 @@ class System:
             self._fe_pending.append(dict(
                 h=h, fi=fi, lines=lines, h_inst=h_inst,
                 masks=masks_by_tid, instances=None))
-            # frontend depth 2: a handle's dispatch->device->fetch
-            # round trip through the tunnel is ~1.5 frames; at depth 1
-            # every collect still waits ~a round trip (measured
-            # fe.fetch 29 ms), at depth 2 the result has landed
-            if len(self._fe_pending) <= self._fe_lag:
-                return None
-            return self._finish_oldest_pending()
+            return out
 
         # ---- perception: build masks / instances ----------------------
 
